@@ -1,0 +1,57 @@
+"""Global configuration for the rray_tpu renderer.
+
+Mirrors the reference's single global constant EPSILON = 1e-5
+(/root/reference/src/main.rs:10) while adding TPU-specific knobs:
+compute dtype (float32 on TPU, float64 for CPU parity tests) and
+static pipeline sizes (hit slots, container stack depth, bounce depth).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+
+# Float comparison / shadow-acne epsilon (reference: src/main.rs:10).
+EPSILON = 1e-5
+
+
+def default_dtype():
+    """Compute dtype for the device render path.
+
+    float64 requires jax_enable_x64 (CPU parity tests); TPU uses float32.
+    """
+    if os.environ.get("RRAY_F64") == "1" or jax.config.jax_enable_x64:
+        return jnp.float64
+    return jnp.float32
+
+
+def offset_eps(dtype) -> float:
+    """Surface offset used for over_point/under_point.
+
+    The reference offsets by EPSILON in f64 (intersection.rs:57-58). In f32
+    that is below round-off at scene scale, so we widen it to keep shadow
+    and refraction rays off the originating surface.
+    """
+    if dtype == jnp.float64:
+        return EPSILON
+    return 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static (compile-time) settings for one render pipeline."""
+
+    # Max sorted hit slots kept per ray. Must cover every intersection at
+    # t < first-visible-hit plus the hit itself (CSG filtering and the
+    # refraction containers walk both consume the sorted prefix).
+    max_hits: int = 16
+    # Containers stack depth for the n1/n2 walk (intersection.rs:61-92).
+    containers_depth: int = 8
+    # Recursion depth for reflection/refraction (camera.rs:113 hardcodes 5).
+    depth: int = 5
+    # Triangles are streamed through the hit merger in chunks of this size.
+    tri_chunk: int = 512
+    # Pixel rows rendered per device step (bounds wavefront memory).
+    rows_per_tile: int = 64

@@ -1,0 +1,68 @@
+"""Throughput benchmark: rays/s on the BASELINE sphere scene.
+
+Renders the checker-plane + sphere scene (BASELINE.md config 1) at
+800x600, depth 5, on the default JAX backend and reports primary rays per
+second for the steady-state jitted render.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is value / 1e9 (the >=1e9 rays/s/chip target).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from rray_tpu import (Camera, Material, Pattern, PointLight,
+                          RenderSettings, Shape, compile_camera,
+                          compile_scene)
+    from rray_tpu import mathutils as mu
+    from rray_tpu.render.integrator import render
+
+    dtype = jnp.float32
+    width, height = 800, 600
+
+    floor = Shape("plane", material=Material(
+        pattern=Pattern("checker", a=Pattern.solid([1.0, 1.0, 1.0]),
+                        b=Pattern.solid([0.2, 0.2, 0.2])),
+        specular=0.0))
+    ball = Shape("sphere", transform=mu.translate(0, 1, 0),
+                 material=Material(pattern=Pattern.solid([0.7, 0.2, 0.2]),
+                                   diffuse=0.7, specular=0.3))
+    light = PointLight(np.array([-10.0, 10.0, -10.0]), np.ones(3))
+    scene = compile_scene([floor, ball], [light], dtype=dtype)
+
+    cam_h = Camera(width, height, np.pi / 3)
+    cam_h.transform = mu.view_transform([0, 1.5, -5], [0, 1, 0], [0, 1, 0])
+    cam = compile_camera(cam_h, dtype)
+
+    settings = RenderSettings(rows_per_tile=600, max_hits=4,
+                              containers_depth=2)
+    fn = jax.jit(lambda s, c: render(s, c, settings=settings))
+    img = fn(scene, cam)
+    img.block_until_ready()  # compile
+
+    n_iters = 5
+    best = float("inf")
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        fn(scene, cam).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+
+    rays = width * height  # primary rays per frame
+    value = rays / best
+    print(json.dumps({
+        "metric": "primary_rays_per_s",
+        "value": value,
+        "unit": "rays/s",
+        "vs_baseline": value / 1e9,
+    }))
+
+
+if __name__ == "__main__":
+    main()

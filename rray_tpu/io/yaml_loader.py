@@ -16,8 +16,7 @@ import numpy as np
 import yaml
 
 from .. import mathutils as mu
-from ..scene.data import (AreaLight, Material, Pattern, PointLight, Shape,
-                          glass_material)
+from ..scene.data import AreaLight, Material, Pattern, PointLight, Shape
 from .obj_loader import load_obj_file
 
 
@@ -129,16 +128,14 @@ def create_shape(s: dict, base_dir: str) -> Shape:
     transform = create_transforms(s.get("transforms"))
     material = create_material(s.get("material"), base_dir)
 
-    if kind == "sphere":
+    if kind in ("sphere", "glass_sphere"):
+        # Reference quirk: create_shape unconditionally calls set_material
+        # with the YAML material (or Material::default() when absent)
+        # AFTER constructing the shape (scene_builder_yaml.rs:363-364), so
+        # the glass preset (sphere.rs:48-58) is always clobbered and
+        # `glass_sphere` renders like `sphere`. We match the code, not the
+        # README.
         shape = Shape("sphere", transform, material)
-    elif kind == "glass_sphere":
-        # glass preset (sphere.rs:48-58) — then create_shape overrides the
-        # material anyway (scene_builder_yaml.rs:362-363), so the YAML
-        # material (or defaults) wins, matching the reference.
-        shape = Shape("sphere", transform,
-                      material if "material" in s else glass_material())
-        if "material" not in s:
-            shape.material = create_material(None, base_dir)
     elif kind == "plane":
         shape = Shape("plane", transform, material)
     elif kind == "cube":

@@ -1,0 +1,87 @@
+"""Differentiable rendering: inverse-graphics training over a device mesh.
+
+The reference has no gradient path (a Rust forward renderer). Here the
+whole render is differentiable JAX, so scene parameters — material
+scalars, pattern colors, light positions/intensities, object and camera
+transforms — can be optimized against a target image.
+
+The training step shards the pixel-ray axis across the mesh with sharding
+constraints under `jit` (pjit-style): XLA partitions the forward and
+backward passes and inserts the gradient all-reduce (`psum` over ICI) for
+the replicated scene parameters automatically.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RenderSettings
+from ..render import integrator
+from ..render.camera import CameraData, all_rays
+from ..scene import data as sd
+
+
+def partition_scene(scene: sd.SceneData):
+    """Split SceneData into (params, static) by differentiability.
+
+    Params: every floating-point leaf (transforms, materials, lights,
+    pattern payloads). Static: integer/bool tables and pytree metadata.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    is_param = [hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.inexact)
+                for l in leaves]
+    params = [l if p else None for l, p in zip(leaves, is_param)]
+    static = [None if p else l for l, p in zip(leaves, is_param)]
+    return params, (static, treedef, is_param)
+
+
+def merge_scene(params, rest) -> sd.SceneData:
+    static, treedef, is_param = rest
+    leaves = [p if sel else s for p, s, sel in zip(params, static, is_param)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def render_loss(params, rest, cam: CameraData, target, settings, key, axis=None):
+    """Mean-squared pixel loss of a full render vs a target image."""
+    scene = merge_scene(params, rest)
+    ro, rd = all_rays(cam)
+    if axis is not None:
+        spec = NamedSharding(axis[0], P(axis[1]))
+        ro = jax.lax.with_sharding_constraint(ro, spec)
+        rd = jax.lax.with_sharding_constraint(rd, spec)
+    colors = integrator.color_at(scene, ro, rd, settings.depth, settings, key)
+    image = colors.reshape(target.shape)
+    return jnp.mean((image - target) ** 2)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Any
+
+
+def make_train_step(rest, cam, settings: RenderSettings, optimizer,
+                    mesh: Mesh = None, axis: str = "rays"):
+    """Build a jitted SPMD train step closed over static scene structure."""
+    sharding_ctx = (mesh, axis) if mesh is not None else None
+
+    def step_fn(state: TrainState, target, key):
+        loss, grads = jax.value_and_grad(render_loss)(
+            state.params, rest, cam, target, settings, key, sharding_ctx)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(step_fn)
+
+
+def init_train_state(scene: sd.SceneData, optimizer):
+    params, rest = partition_scene(scene)
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), rest

@@ -190,7 +190,7 @@ def render(scene: sd.SceneData, cam: CameraData,
         return color_at(scene, o, d, settings.depth, settings, key)
 
     if n_tiles == 1:
-        colors = tile_fn((ro_t[0], rd_t[0]))
+        colors = tile_fn((ro_t[0], rd_t[0]))[:R]
     else:
         colors = jax.lax.map(tile_fn, (ro_t, rd_t)).reshape(-1, 3)[:R]
     return colors.reshape(cam.vsize, cam.hsize, 3)

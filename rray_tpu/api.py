@@ -21,6 +21,27 @@ from .scene.data import compile_scene
 
 log = logging.getLogger("rray_tpu")
 
+_CACHE_CONFIGURED = False
+
+
+def enable_compile_cache(path: str = None):
+    """Persist XLA compilations across processes (renders recompile per
+    raster size; the cache makes repeat CLI invocations start instantly)."""
+    global _CACHE_CONFIGURED
+    if _CACHE_CONFIGURED:
+        return
+    import os
+
+    import jax
+
+    path = path or os.environ.get(
+        "RRAY_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "rray_tpu", "xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _CACHE_CONFIGURED = True
+
 
 def _build(camera_spec, lights, shapes, width, height, aa, dtype):
     scene = compile_scene(shapes, lights, dtype=dtype)
@@ -34,6 +55,7 @@ def render_scene(camera_spec, lights, shapes, width: int, height: int,
                  seed: int = 0, dtype=None) -> np.ndarray:
     """Render a loaded scene -> linear float image [height, width, 3]
     (already AA-downsampled)."""
+    enable_compile_cache()
     dtype = dtype or default_dtype()
     settings = settings or RenderSettings()
     scene, cam = _build(camera_spec, lights, shapes, width, height, aa, dtype)

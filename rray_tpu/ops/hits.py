@@ -211,6 +211,76 @@ def _apply_csg(scene: sd.SceneData, slots: Slots) -> Slots:
     return slots
 
 
+def closest_hit(scene: sd.SceneData, ro, rd, settings):
+    """Closest t >= 0 hit WITHOUT building the sorted prefix.
+
+    Valid whenever nothing downstream needs the full ordered hit list —
+    i.e. no CSG filtering (csg.rs:177-195) and no refraction containers
+    walk (intersection.rs:61-92). Equivalent to select_hit(gather_sorted_
+    hits(...)) in that regime, but skips both lax.sort calls and the
+    top-K slot tensors, which dominate simple scenes.
+
+    Returns (found, t, prim, u, v).
+    """
+    t, prim, u, v = _analytic_slots(scene, ro, rd)
+    t = jnp.where(t >= 0.0, t, _INF)
+    R = ro.shape[0]
+    dtype = ro.dtype
+
+    if t.shape[1]:
+        best_i = jnp.argmin(t, axis=1)
+        take = lambda x: jnp.take_along_axis(x, best_i[:, None], axis=1)[:, 0]
+        best_t, best_prim, best_u, best_v = take(t), take(prim), take(u), take(v)
+    else:
+        best_t = jnp.full(R, _INF, dtype)
+        best_prim = jnp.zeros(R, jnp.int32)
+        best_u = best_v = jnp.zeros(R, dtype)
+
+    T = scene.counts[6]
+    if T:
+        chunk = min(settings.tri_chunk, T)
+        pad = (-T) % chunk
+        n_chunks = (T + pad) // chunk
+
+        def padded(x, fill=0.0):
+            if pad == 0:
+                return x
+            width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, width, constant_values=fill)
+
+        p1 = padded(scene.tri_p1).reshape(n_chunks, chunk, 3)
+        e1 = padded(scene.tri_e1).reshape(n_chunks, chunk, 3)
+        e2 = padded(scene.tri_e2).reshape(n_chunks, chunk, 3)
+        pid = padded(scene.tri_prim, fill=0).reshape(n_chunks, chunk)
+        live = padded(jnp.ones(T, bool), fill=False).reshape(n_chunks, chunk)
+
+        def body(carry, c):
+            bt, bp, bu, bv = carry
+            cp1, ce1, ce2, cpid, clive = c
+            tt, uu, vv, ok = intersect.triangles(ro, rd, cp1, ce1, ce2)
+            tt = jnp.where(ok & clive[None, :] & (tt >= 0.0), tt, _INF)
+            ci = jnp.argmin(tt, axis=1)
+            take = lambda x: jnp.take_along_axis(x, ci[:, None], axis=1)[:, 0]
+            ct = take(tt)
+            better = ct < bt
+            bt = jnp.where(better, ct, bt)
+            bp = jnp.where(better, cpid[ci], bp)
+            bu = jnp.where(better, take(uu), bu)
+            bv = jnp.where(better, take(vv), bv)
+            return (bt, bp, bu, bv), None
+
+        init = (best_t, best_prim, best_u, best_v)
+        if n_chunks == 1:
+            (best_t, best_prim, best_u, best_v), _ = body(
+                init, (p1[0], e1[0], e2[0], pid[0], live[0]))
+        else:
+            (best_t, best_prim, best_u, best_v), _ = jax.lax.scan(
+                body, init, (p1, e1, e2, pid, live))
+
+    found = jnp.isfinite(best_t)
+    return found, best_t, best_prim, best_u, best_v
+
+
 def select_hit(slots: Slots):
     """First intersection with t >= 0 (scene.rs:128-136)."""
     pos = slots.valid & (slots.t >= 0.0)

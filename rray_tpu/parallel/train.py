@@ -26,15 +26,22 @@ from ..render.camera import CameraData, all_rays
 from ..scene import data as sd
 
 
-def partition_scene(scene: sd.SceneData):
+def partition_scene(scene: sd.SceneData, trainable=None):
     """Split SceneData into (params, static) by differentiability.
 
     Params: every floating-point leaf (transforms, materials, lights,
     pattern payloads). Static: integer/bool tables and pytree metadata.
+
+    `trainable`: optional predicate over the leaf's key-path string (e.g.
+    ".patterns[1].color") restricting which float leaves are optimized;
+    the rest stay frozen in `static`.
     """
-    leaves, treedef = jax.tree_util.tree_flatten(scene)
-    is_param = [hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.inexact)
-                for l in leaves]
+    leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(scene)
+    is_param = [
+        hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.inexact)
+        and (trainable is None or trainable(jax.tree_util.keystr(path)))
+        for path, l in leaves_paths]
+    leaves = [l for _, l in leaves_paths]
     params = [l if p else None for l, p in zip(leaves, is_param)]
     static = [None if p else l for l, p in zip(leaves, is_param)]
     return params, (static, treedef, is_param)
@@ -81,7 +88,7 @@ def make_train_step(rest, cam, settings: RenderSettings, optimizer,
     return jax.jit(step_fn)
 
 
-def init_train_state(scene: sd.SceneData, optimizer):
-    params, rest = partition_scene(scene)
+def init_train_state(scene: sd.SceneData, optimizer, trainable=None):
+    params, rest = partition_scene(scene, trainable)
     opt_state = optimizer.init(params)
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), rest

@@ -102,8 +102,15 @@ def color_at(scene: sd.SceneData, ro, rd, remaining: int,
     """Color seen along rays [R,3]; the unrolled Whitted tree."""
     dtype = ro.dtype
     eps = offset_eps(dtype)
-    slots = hits_mod.gather_sorted_hits(scene, ro, rd, settings)
-    found, hit_idx, t, prim, u, v = hits_mod.select_hit(slots)
+    # The full sorted hit prefix is only needed when CSG filtering or the
+    # refraction containers walk consume it; otherwise the closest positive
+    # hit is a straight masked argmin (no lax.sort, no top-K tensors).
+    needs_sorted = bool(scene.csg_ops) or scene.has_transparent
+    if needs_sorted:
+        slots = hits_mod.gather_sorted_hits(scene, ro, rd, settings)
+        found, hit_idx, t, prim, u, v = hits_mod.select_hit(slots)
+    else:
+        found, t, prim, u, v = hits_mod.closest_hit(scene, ro, rd, settings)
 
     t_safe = jnp.where(found, t, 0.0)
     point = ro + rd * t_safe[:, None]

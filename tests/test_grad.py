@@ -1,0 +1,143 @@
+"""Differentiable-rendering checks (BASELINE.md gradient targets): autodiff
+pixel gradients vs central finite differences, and an end-to-end inverse
+rendering step that reduces the loss."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rray_tpu import (Camera, Material, Pattern, PointLight, RenderSettings,
+                      Shape, compile_camera, compile_scene)
+from rray_tpu import mathutils as mu
+from rray_tpu.parallel import train as ptrain
+from rray_tpu.render.integrator import render
+
+SET = RenderSettings(rows_per_tile=16, max_hits=4, containers_depth=2)
+
+
+def small_setup():
+    floor = Shape("plane", material=Material(
+        pattern=Pattern.solid([0.9, 0.9, 0.9]), specular=0.0))
+    ball = Shape("sphere", transform=mu.translate(0, 1, 0),
+                 material=Material(pattern=Pattern.solid([0.7, 0.2, 0.2]),
+                                   diffuse=0.7, specular=0.3))
+    light = PointLight(np.array([-10.0, 10.0, -10.0]), np.ones(3))
+    scene = compile_scene([floor, ball], [light], dtype=jnp.float64)
+    cam_h = Camera(16, 12, np.pi / 3)
+    cam_h.transform = mu.view_transform([0, 1.5, -5], [0, 1, 0], [0, 1, 0])
+    cam = compile_camera(cam_h, jnp.float64)
+    return scene, cam
+
+
+def loss_of(scene, cam):
+    img = render(scene, cam, settings=SET)
+    return jnp.mean(img ** 2)
+
+
+def scene_grad(scene, cam):
+    """Gradient of the loss w.r.t. every float leaf, repacked as SceneData."""
+    params, rest = ptrain.partition_scene(scene)
+    g = jax.grad(
+        lambda p: loss_of(ptrain.merge_scene(p, rest), cam))(params)
+    return ptrain.merge_scene(g, rest)
+
+
+class TestFiniteDifference:
+    def check_leaf(self, get, set_, eps=1e-6):
+        scene, cam = small_setup()
+        grad_scene = scene_grad(scene, cam)
+        auto = float(get(grad_scene))
+        lo = loss_of(set_(scene, -eps), cam)
+        hi = loss_of(set_(scene, +eps), cam)
+        fd = float((hi - lo) / (2 * eps))
+        assert abs(auto - fd) <= 1e-5 * max(1.0, abs(fd)), (auto, fd)
+
+    def test_material_diffuse(self):
+        self.check_leaf(
+            lambda g: g.mat_diffuse[1],
+            lambda s, d: dataclasses.replace(
+                s, mat_diffuse=s.mat_diffuse.at[1].add(d)))
+
+    def test_material_ambient(self):
+        self.check_leaf(
+            lambda g: g.mat_ambient[0],
+            lambda s, d: dataclasses.replace(
+                s, mat_ambient=s.mat_ambient.at[0].add(d)))
+
+    def test_light_intensity(self):
+        def bump(scene, d):
+            new_light = dataclasses.replace(
+                scene.lights[0],
+                intensity=scene.lights[0].intensity.at[0].add(d))
+            return dataclasses.replace(scene, lights=(new_light,))
+
+        scene, cam = small_setup()
+        grad_scene = scene_grad(scene, cam)
+        auto = float(grad_scene.lights[0].intensity[0])
+        eps = 1e-6
+        fd = float((loss_of(bump(scene, eps), cam)
+                    - loss_of(bump(scene, -eps), cam)) / (2 * eps))
+        assert abs(auto - fd) <= 1e-5 * max(1.0, abs(fd)), (auto, fd)
+
+    def test_pattern_color(self):
+        scene, cam = small_setup()
+        grad_scene = scene_grad(scene, cam)
+        pat = scene.patterns[1]  # ball's solid pattern
+
+        def bump(d):
+            new_pat = dataclasses.replace(pat, color=pat.color.at[0].add(d))
+            return dataclasses.replace(
+                scene, patterns=(scene.patterns[0], new_pat))
+
+        auto = float(grad_scene.patterns[1].color[0])
+        eps = 1e-6
+        fd = float((loss_of(bump(eps), cam) - loss_of(bump(-eps), cam))
+                   / (2 * eps))
+        assert abs(auto - fd) <= 1e-5 * max(1.0, abs(fd)), (auto, fd)
+
+    def test_object_transform(self):
+        # prim_inv is the composed world->object affine; a smooth leaf.
+        scene, cam = small_setup()
+        grad_scene = scene_grad(scene, cam)
+        auto = float(grad_scene.prim_inv[1, 1, 3])  # sphere ty of inverse
+
+        def bump(d):
+            return dataclasses.replace(
+                scene, prim_inv=scene.prim_inv.at[1, 1, 3].add(d))
+
+        eps = 1e-6
+        fd = float((loss_of(bump(eps), cam) - loss_of(bump(-eps), cam))
+                   / (2 * eps))
+        # Silhouette pixels contribute discontinuously; interior shading
+        # dominates at this step size.
+        assert abs(auto - fd) <= 1e-4 * max(1.0, abs(fd)), (auto, fd)
+
+
+class TestInverseRendering:
+    def test_training_reduces_loss(self):
+        scene, cam = small_setup()
+        target = render(scene, cam, settings=SET)
+
+        # Corrupt the ball color + light intensity, then recover.
+        bad_pat = dataclasses.replace(
+            scene.patterns[1],
+            color=jnp.asarray([0.2, 0.7, 0.7], jnp.float64))
+        bad_light = dataclasses.replace(
+            scene.lights[0], intensity=scene.lights[0].intensity * 0.5)
+        bad = dataclasses.replace(scene,
+                                  patterns=(scene.patterns[0], bad_pat),
+                                  lights=(bad_light,))
+
+        optimizer = optax.adam(5e-2)
+        trainable = lambda ks: ".color" in ks or ".intensity" in ks
+        state, rest = ptrain.init_train_state(bad, optimizer, trainable)
+        step = ptrain.make_train_step(rest, cam, SET, optimizer)
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for i in range(25):
+            state, loss = step(state, target, key)
+            losses.append(float(loss))
+        assert losses[-1] < 0.05 * losses[0], losses[::6]

@@ -1,28 +1,30 @@
 """Throughput benchmark: rays/s on the BASELINE sphere scene.
 
 Renders the checker-plane + sphere scene (BASELINE.md config 1) at
-800x600, depth 5, on the default JAX backend and reports primary rays per
-second for the steady-state jitted render.
+800x600, depth 5, and reports primary rays per second of steady-state
+device execution. Device time is measured with in-graph repetition
+(rray_tpu/utils/timing.py) because tunneled backends make wall-clock
+`block_until_ready` timings meaningless.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 `vs_baseline` is value / 1e9 (the >=1e9 rays/s/chip target).
 """
 from __future__ import annotations
 
+import dataclasses
 import json
-import time
 
 import numpy as np
 
 
 def main():
-    import jax
     import jax.numpy as jnp
     from rray_tpu import (Camera, Material, Pattern, PointLight,
                           RenderSettings, Shape, compile_camera,
                           compile_scene)
     from rray_tpu import mathutils as mu
     from rray_tpu.render.integrator import render
+    from rray_tpu.utils.timing import device_seconds_per_call, repeat_with_jitter
 
     dtype = jnp.float32
     width, height = 800, 600
@@ -43,19 +45,13 @@ def main():
 
     settings = RenderSettings(rows_per_tile=600, max_hits=4,
                               containers_depth=2)
-    fn = jax.jit(lambda s, c: render(s, c, settings=settings))
-    img = fn(scene, cam)
-    img.block_until_ready()  # compile
 
-    n_iters = 5
-    best = float("inf")
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        fn(scene, cam).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+    def render_scalar(jitter):
+        c = dataclasses.replace(cam, half_width=cam.half_width + jitter * 1e-9)
+        return render(scene, c, settings=settings).sum()
 
-    rays = width * height  # primary rays per frame
-    value = rays / best
+    sec = device_seconds_per_call(lambda n: repeat_with_jitter(render_scalar, n))
+    value = width * height / sec
     print(json.dumps({
         "metric": "primary_rays_per_s",
         "value": value,

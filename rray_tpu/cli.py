@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Output PNG file name (default output.png)")
     p.add_argument("-a", "--anti-aliasing", dest="aa", type=parse_aa,
                    default=1, help="Anti-aliasing level 1-5 (default 1)")
+    p.add_argument("--platform", default=None,
+                   help="Force a JAX platform (e.g. cpu, tpu); default: "
+                        "the environment's accelerator")
     p.add_argument("--seed", type=int, default=0,
                    help="Sampling seed (area lights); the reference uses "
                         "a nondeterministic thread RNG")
@@ -49,6 +52,10 @@ def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING,
         format="%(message)s")
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     from .api import render_scene_from_file
 
     render_scene_from_file(args.scene, args.width, args.height, args.output,

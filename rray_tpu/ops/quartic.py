@@ -61,6 +61,18 @@ def _quadratic(b, c):
     return r1, r2, ok
 
 
+def solve_quartic_parts(c4, c3, c2, c1, c0, polish_iters: int = 3):
+    """All real roots of c4 x^4 + ... + c0 = 0 as four separate arrays.
+
+    Returns (roots, valids): two 4-tuples of arrays shaped like the
+    coefficients — the SoA form (no stacked minor axis; see ops/vec.py).
+    Invalid lanes hold junk.
+    """
+    roots, valid = solve_quartic(c4, c3, c2, c1, c0, polish_iters)
+    return tuple(roots[..., i] for i in range(4)), \
+        tuple(valid[..., i] for i in range(4))
+
+
 def solve_quartic(c4, c3, c2, c1, c0, polish_iters: int = 3):
     """All real roots of c4 x^4 + c3 x^3 + c2 x^2 + c1 x + c0 = 0.
 

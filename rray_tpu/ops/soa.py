@@ -1,0 +1,353 @@
+"""SoA intersection + hit selection: the TPU fast path.
+
+Everything here operates on V3 component arrays ([R] per component; see
+ops/vec.py for why). Analytic primitives are unrolled in Python — scene
+leaf counts are static and small — so every op is a fused elementwise
+pass over the ray axis, with hits merged through a running masked min
+(strict <, preserving the reference's stable-sort/first-hit tie-break,
+scene.rs:97-136). Triangle meshes stream through lane-friendly [R, C]
+chunks under lax.scan.
+
+Semantics mirror ops/intersect.py (which remains the engine for the
+sorted-prefix path needed by CSG and refraction): sphere.rs:64-78,
+plane.rs:51-58, cube.rs:48-77, cylinder.rs:60-123, cone.rs:60-166,
+torus.rs:36-93, triangle.rs:72-94.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EPSILON
+from ..scene import data as sd
+from . import quartic
+from .vec import V3, affine_point, affine_vector
+
+_INF = jnp.inf
+
+
+@dataclasses.dataclass
+class Hit:
+    found: Any   # [R] bool
+    t: Any       # [R]
+    prim: Any    # [R] int32
+    u: Any       # [R]
+    v: Any       # [R]
+    tri: Any     # [R] int32 (triangle row when prim is a triangle)
+
+
+jax.tree_util.register_dataclass(
+    Hit, data_fields=["found", "t", "prim", "u", "v", "tri"], meta_fields=[])
+
+
+def _sphere_slots(o: V3, d: V3):
+    a = d.dot(d)
+    b = 2.0 * d.dot(o)
+    c = o.dot(o) - 1.0
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv2a = 0.5 / a  # |d| > 0 for camera/shadow rays
+    return [((-b - sq) * inv2a, ok), ((-b + sq) * inv2a, ok)]
+
+
+def _plane_slots(o: V3, d: V3):
+    ok = jnp.abs(d.y) >= EPSILON
+    t = -o.y / jnp.where(ok, d.y, 1.0)
+    return [(t, ok)]
+
+
+def _cube_slots(o: V3, d: V3):
+    big = jnp.asarray(1e30, o.x.dtype)
+
+    def axis(oc, dc):
+        parallel = jnp.abs(dc) < EPSILON
+        dsafe = jnp.where(parallel, 1.0, dc)
+        t1 = (-1.0 - oc) / dsafe
+        t2 = (1.0 - oc) / dsafe
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        inside = (oc >= -1.0) & (oc <= 1.0)
+        lo = jnp.where(parallel, jnp.where(inside, -big, big), lo)
+        hi = jnp.where(parallel, jnp.where(inside, big, -big), hi)
+        return lo, hi
+
+    xlo, xhi = axis(o.x, d.x)
+    ylo, yhi = axis(o.y, d.y)
+    zlo, zhi = axis(o.z, d.z)
+    tmin = jnp.maximum(xlo, jnp.maximum(ylo, zlo))
+    tmax = jnp.minimum(xhi, jnp.minimum(yhi, zhi))
+    ok = tmin <= tmax
+    return [(tmin, ok), (tmax, ok)]
+
+
+def _cap_slots(o: V3, d: V3, ymin, ymax, closed, cone: bool):
+    cap_possible = closed & (jnp.abs(d.y) >= EPSILON)
+    dsafe = jnp.where(jnp.abs(d.y) >= EPSILON, d.y, 1.0)
+    out = []
+    for bound in (ymin, ymax):
+        t = (bound - o.y) / dsafe
+        x = o.x + t * d.x
+        z = o.z + t * d.z
+        if cone:
+            y = o.y + t * d.y
+            radius = y * y
+        else:
+            radius = 1.0
+        out.append((t, cap_possible & (x * x + z * z <= radius)))
+    return out
+
+
+def _cylinder_slots(o: V3, d: V3, ymin, ymax, closed):
+    a = d.x * d.x + d.z * d.z
+    body_possible = jnp.abs(a) > EPSILON
+    b = 2.0 * (o.x * d.x + o.z * d.z)
+    c = o.x * o.x + o.z * o.z - 1.0
+    disc = b * b - 4.0 * a * c
+    ok = body_possible & (disc >= 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv2a = 0.5 / jnp.where(body_possible, a, 1.0)
+    lo = (-b - sq) * inv2a
+    hi = (-b + sq) * inv2a
+    lo, hi = jnp.minimum(lo, hi), jnp.maximum(lo, hi)
+    y0 = o.y + lo * d.y
+    y1 = o.y + hi * d.y
+    slots = [(lo, ok & (ymin < y0) & (y0 < ymax)),
+             (hi, ok & (ymin < y1) & (y1 < ymax))]
+    # Negative discriminant returns [] outright, dropping caps too
+    # (cylinder.rs:101-102).
+    miss_all = body_possible & (disc < 0.0)
+    for t, valid in _cap_slots(o, d, ymin, ymax, closed, cone=False):
+        slots.append((t, valid & ~miss_all))
+    return slots
+
+
+def _cone_slots(o: V3, d: V3, ymin, ymax, closed):
+    a = d.x * d.x - d.y * d.y + d.z * d.z
+    b = 2.0 * (o.x * d.x - o.y * d.y + o.z * d.z)
+    c = o.x * o.x - o.y * o.y + o.z * o.z
+    a_small = jnp.abs(a) < EPSILON
+    b_small = jnp.abs(b) < EPSILON
+
+    t_lin = -c / jnp.where(b_small, 1.0, 2.0 * b)
+    y_lin = o.y + t_lin * d.y
+    lin_hit = a_small & ~b_small & (ymin < y_lin) & (y_lin < ymax)
+
+    disc = b * b - 4.0 * a * c
+    quad_path = ~(a_small & b_small) & ~lin_hit
+    okq = quad_path & (disc >= 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv2a = 0.5 / jnp.where(a_small, jnp.where(a < 0, -EPSILON, EPSILON), a)
+    lo = (-b - sq) * inv2a
+    hi = (-b + sq) * inv2a
+    lo, hi = jnp.minimum(lo, hi), jnp.maximum(lo, hi)
+    y0 = o.y + lo * d.y
+    y1 = o.y + hi * d.y
+    slots = [(t_lin, lin_hit),
+             (lo, okq & (ymin < y0) & (y0 < ymax)),
+             (hi, okq & (ymin < y1) & (y1 < ymax))]
+    miss_all = quad_path & (disc < 0.0)
+    for t, valid in _cap_slots(o, d, ymin, ymax, closed, cone=True):
+        slots.append((t, valid & ~lin_hit & ~miss_all))
+    return slots
+
+
+def _torus_slots(o: V3, d: V3, minor_r):
+    r_sq = minor_r * minor_r
+    sum_d_sq = d.dot(d)
+    e = o.dot(o) - r_sq + 1.0
+    f = o.dot(d)
+    a4 = sum_d_sq * sum_d_sq
+    a3 = 4.0 * sum_d_sq * f
+    a2 = 2.0 * sum_d_sq * e + 4.0 * f * f - 4.0 * (d.x * d.x + d.y * d.y)
+    a1 = 4.0 * e * f - 8.0 * (o.x * d.x + o.y * d.y)
+    a0 = e * e - 4.0 * (o.x * o.x + o.y * o.y)
+    roots, valids = quartic.solve_quartic_parts(a4, a3, a2, a1, a0)
+    # Only t > 0 kept (torus.rs:62-90).
+    return [(r, ok & (r > 0.0)) for r, ok in zip(roots, valids)]
+
+
+def _leaf_slots(scene: sd.SceneData, kind: int, row: int, ro: V3, rd: V3):
+    """Hit slots for one analytic leaf (local-space closed forms)."""
+    if kind == sd.SPHERE:
+        inv = scene.sph_inv[row]
+        return _sphere_slots(affine_point(inv, ro), affine_vector(inv, rd))
+    if kind == sd.PLANE:
+        inv = scene.pla_inv[row]
+        return _plane_slots(affine_point(inv, ro), affine_vector(inv, rd))
+    if kind == sd.CUBE:
+        inv = scene.cub_inv[row]
+        return _cube_slots(affine_point(inv, ro), affine_vector(inv, rd))
+    if kind == sd.CYLINDER:
+        inv = scene.cyl_inv[row]
+        return _cylinder_slots(affine_point(inv, ro), affine_vector(inv, rd),
+                               scene.cyl_min[row], scene.cyl_max[row],
+                               scene.cyl_closed[row])
+    if kind == sd.CONE:
+        inv = scene.con_inv[row]
+        return _cone_slots(affine_point(inv, ro), affine_vector(inv, rd),
+                           scene.con_min[row], scene.con_max[row],
+                           scene.con_closed[row])
+    if kind == sd.TORUS:
+        inv = scene.tor_inv[row]
+        return _torus_slots(affine_point(inv, ro), affine_vector(inv, rd),
+                            scene.tor_r[row])
+    raise AssertionError(kind)
+
+
+def _tri_chunks(scene: sd.SceneData, chunk: int):
+    """Triangle component tables reshaped [n_chunks, C]."""
+    T = scene.counts[6]
+    pad = (-T) % chunk
+    n_chunks = (T + pad) // chunk
+
+    def comp(table, j):
+        col = table[:, j]
+        if pad:
+            col = jnp.pad(col, (0, pad))
+        return col.reshape(n_chunks, chunk)
+
+    p1 = tuple(comp(scene.tri_p1, j) for j in range(3))
+    e1 = tuple(comp(scene.tri_e1, j) for j in range(3))
+    e2 = tuple(comp(scene.tri_e2, j) for j in range(3))
+    pid = scene.tri_prim
+    if pad:
+        pid = jnp.pad(pid, (0, pad))
+    pid = pid.reshape(n_chunks, chunk)
+    live = jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk) < T
+    return n_chunks, chunk, p1, e1, e2, pid, live
+
+
+def _tri_chunk_best(ro: V3, rd: V3, p1, e1, e2, pid, live, base):
+    """Möller–Trumbore over one [C]-chunk -> per-ray best (t,u,v,pid,tri).
+
+    Ray components broadcast [R,1] against triangle components [1,C];
+    every intermediate is a lane-friendly [R,C] elementwise value feeding
+    a single min-reduction, which XLA fuses into one pass.
+    """
+    dx, dy, dz = rd.x[:, None], rd.y[:, None], rd.z[:, None]
+    ox, oy, oz = ro.x[:, None], ro.y[:, None], ro.z[:, None]
+    e1x, e1y, e1z = e1[0][None, :], e1[1][None, :], e1[2][None, :]
+    e2x, e2y, e2z = e2[0][None, :], e2[1][None, :], e2[2][None, :]
+    p1x, p1y, p1z = p1[0][None, :], p1[1][None, :], p1[2][None, :]
+
+    # dce2 = d x e2
+    cx = dy * e2z - dz * e2y
+    cy = dz * e2x - dx * e2z
+    cz = dx * e2y - dy * e2x
+    det = e1x * cx + e1y * cy + e1z * cz
+    ok = jnp.abs(det) >= EPSILON
+    f = 1.0 / jnp.where(ok, det, 1.0)
+    sx = ox - p1x
+    sy = oy - p1y
+    sz = oz - p1z
+    u = f * (sx * cx + sy * cy + sz * cz)
+    ok = ok & (u >= 0.0) & (u <= 1.0)
+    # q = s x e1
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    ok = ok & (v >= 0.0) & (u + v <= 1.0)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok = ok & live[None, :] & (t >= 0.0)
+    t = jnp.where(ok, t, _INF)
+
+    idx = jnp.argmin(t, axis=1)
+    take = lambda a: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+    return take(t), take(u), take(v), pid[idx], base + idx
+
+
+def closest_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, settings) -> Hit:
+    """First t >= 0 hit across all primitives (fast path; no sorted list)."""
+    dtype = ro.dtype
+    R = ro.x.shape
+    best_t = jnp.full(R, _INF, dtype)
+    zero = jnp.zeros(R, dtype)
+    best_prim = jnp.zeros(R, jnp.int32)
+    best_u = zero
+    best_v = zero
+    best_tri = jnp.zeros(R, jnp.int32)
+
+    for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
+                                          scene.prim_rows_static)):
+        if kind == sd.TRIANGLE:
+            continue
+        for t, valid in _leaf_slots(scene, kind, row, ro, rd):
+            t = jnp.where(valid & (t >= 0.0), t, _INF)
+            better = t < best_t
+            best_t = jnp.where(better, t, best_t)
+            best_prim = jnp.where(better, pid, best_prim)
+            best_u = jnp.where(better, zero, best_u)
+            best_v = jnp.where(better, zero, best_v)
+
+    T = scene.counts[6]
+    if T:
+        n_chunks, chunk, p1, e1, e2, pid, live = _tri_chunks(
+            scene, min(settings.tri_chunk, max(T, 1)))
+
+        if n_chunks == 1:
+            args = (tuple(c[0] for c in p1), tuple(c[0] for c in e1),
+                    tuple(c[0] for c in e2), pid[0], live[0])
+            ct, cu, cv, cp, ctri = _tri_chunk_best(ro, rd, *args, base=0)
+            better = ct < best_t
+            best_t = jnp.where(better, ct, best_t)
+            best_prim = jnp.where(better, cp, best_prim)
+            best_u = jnp.where(better, cu, best_u)
+            best_v = jnp.where(better, cv, best_v)
+            best_tri = jnp.where(better, ctri, best_tri)
+        else:
+            def body(carry, xs):
+                bt, bp, bu, bv, btr = carry
+                ci, cp1, ce1, ce2, cpid, clive = xs
+                ct, cu, cv, cp, ctri = _tri_chunk_best(
+                    ro, rd, cp1, ce1, ce2, cpid, clive, base=ci * chunk)
+                better = ct < bt
+                return (jnp.where(better, ct, bt),
+                        jnp.where(better, cp, bp),
+                        jnp.where(better, cu, bu),
+                        jnp.where(better, cv, bv),
+                        jnp.where(better, ctri, btr)), None
+
+            xs = (jnp.arange(n_chunks), p1, e1, e2, pid, live)
+            (best_t, best_prim, best_u, best_v, best_tri), _ = jax.lax.scan(
+                body, (best_t, best_prim, best_u, best_v, best_tri), xs)
+
+    return Hit(found=jnp.isfinite(best_t), t=best_t, prim=best_prim,
+               u=best_u, v=best_v, tri=best_tri)
+
+
+def any_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, distance, settings):
+    """Shadow test: any hit with 0 <= t < distance (scene.rs:234-245)."""
+    hit = jnp.zeros(ro.x.shape, bool)
+    for kind, row in zip(scene.prim_kinds, scene.prim_rows_static):
+        if kind == sd.TRIANGLE:
+            continue
+        for t, valid in _leaf_slots(scene, kind, row, ro, rd):
+            hit = hit | (valid & (t >= 0.0) & (t < distance))
+
+    T = scene.counts[6]
+    if T:
+        n_chunks, chunk, p1, e1, e2, pid, live = _tri_chunks(
+            scene, min(settings.tri_chunk, max(T, 1)))
+
+        def chunk_any(cp1, ce1, ce2, clive):
+            ct, _, _, _, _ = _tri_chunk_best(
+                ro, rd, cp1, ce1, ce2, jnp.zeros_like(clive, jnp.int32),
+                clive, base=0)
+            return ct < distance
+
+        if n_chunks == 1:
+            hit = hit | chunk_any(tuple(c[0] for c in p1),
+                                  tuple(c[0] for c in e1),
+                                  tuple(c[0] for c in e2), live[0])
+        else:
+            def body(acc, xs):
+                cp1, ce1, ce2, clive = xs
+                return acc | chunk_any(cp1, ce1, ce2, clive), None
+
+            hit, _ = jax.lax.scan(body, hit, (p1, e1, e2, live))
+    return hit

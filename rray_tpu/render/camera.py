@@ -97,3 +97,31 @@ def all_rays(cam: CameraData):
     ys, xs = jnp.meshgrid(jnp.arange(cam.vsize), jnp.arange(cam.hsize),
                           indexing="ij")
     return rays_for_pixels(cam, xs.reshape(-1), ys.reshape(-1))
+
+
+def rays_for_pixels_soa(cam: CameraData, px, py):
+    """ray_for_pixel (camera.rs:75-93) in component-array (SoA) form."""
+    from ..ops.vec import V3
+
+    dtype = cam.inv.dtype
+    xoff = (px.astype(dtype) + 0.5) * cam.pixel_size
+    yoff = (py.astype(dtype) + 0.5) * cam.pixel_size
+    wx = cam.half_width - xoff
+    wy = cam.half_height - yoff
+    lin = cam.inv[:, :3]
+    tr = cam.inv[:, 3]
+    pixel = V3(lin[0, 0] * wx + lin[0, 1] * wy - lin[0, 2] + tr[0],
+               lin[1, 0] * wx + lin[1, 1] * wy - lin[1, 2] + tr[1],
+               lin[2, 0] * wx + lin[2, 1] * wy - lin[2, 2] + tr[2])
+    origin = V3(jnp.broadcast_to(tr[0], wx.shape),
+                jnp.broadcast_to(tr[1], wx.shape),
+                jnp.broadcast_to(tr[2], wx.shape))
+    direction = (pixel - origin).normalize()
+    return origin, direction
+
+
+def all_rays_soa(cam: CameraData):
+    """SoA rays for the full raster in row-major order."""
+    ys, xs = jnp.meshgrid(jnp.arange(cam.vsize), jnp.arange(cam.hsize),
+                          indexing="ij")
+    return rays_for_pixels_soa(cam, xs.reshape(-1), ys.reshape(-1))

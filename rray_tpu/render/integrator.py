@@ -7,8 +7,17 @@ refraction child batches. Host-static scene flags prune the tree — a scene
 with no transparent material compiles to a pure reflection chain (6
 passes) instead of the full 63-node tree.
 
-All branching is masked math; missed rays carry sanitized (zeroed)
-geometry so no NaNs leak into gradients.
+Two regimes share the shading semantics:
+
+* **SoA fast path** (no CSG, no transparency): component-array math
+  throughout (ops/vec.py, ops/soa.py, render/shade_soa.py) — closest hit
+  by running masked min, shadows by any-hit. This is the TPU speed path.
+* **Sorted path** (CSG filtering csg.rs:177-195 or the n1/n2 containers
+  walk intersection.rs:61-92 needed): per-ray sorted hit prefixes via
+  ops/hits.py.
+
+All branching is masked math; missed rays carry sanitized geometry so no
+NaNs leak into gradients.
 """
 from __future__ import annotations
 
@@ -18,10 +27,124 @@ import jax.numpy as jnp
 from ..config import RenderSettings, offset_eps
 from ..ops import hits as hits_mod
 from ..ops import normals as nrm
+from ..ops import soa
+from ..ops.vec import V3
 from ..scene import data as sd
 from . import patterns
-from .camera import CameraData, all_rays
+from . import shade_soa
+from .camera import CameraData, all_rays, all_rays_soa
 
+
+# ---------------------------------------------------------------------------
+# SoA fast path
+# ---------------------------------------------------------------------------
+
+def _shadow_fraction_soa(scene, light, over: V3, settings, key):
+    """Point: binary; area: level^2 jittered-grid samples folded into the
+    ray axis (scene.rs:181-214, light.rs:47-65; seeded PRNG instead of
+    thread_rng — documented deviation)."""
+    dtype = over.dtype
+    if light.kind == "point":
+        to_light = V3(light.position[0] - over.x, light.position[1] - over.y,
+                      light.position[2] - over.z)
+        dist = to_light.norm()
+        direction = to_light * (1.0 / jnp.maximum(dist, 1e-30))
+        shadowed = soa.any_hit_soa(scene, over, direction, dist, settings)
+        return shadowed.astype(dtype)
+
+    level = light.level
+    n = level * level
+    R = over.x.shape[0]
+    rand = jax.random.uniform(key, (2, n, R), dtype=dtype)
+    cols = (jnp.arange(n) % level).astype(dtype)
+    rows = (jnp.arange(n) // level).astype(dtype)
+    ur = ((cols[:, None] + rand[0]) / level).reshape(n * R)
+    vr = ((rows[:, None] + rand[1]) / level).reshape(n * R)
+
+    def tile(c):
+        return jnp.tile(c, n)
+
+    over_t = V3(tile(over.x), tile(over.y), tile(over.z))
+    pos = V3(light.corner[0] + light.uvec[0] * ur + light.vvec[0] * vr,
+             light.corner[1] + light.uvec[1] * ur + light.vvec[1] * vr,
+             light.corner[2] + light.uvec[2] * ur + light.vvec[2] * vr)
+    to_light = pos - over_t
+    dist = to_light.norm()
+    direction = to_light * (1.0 / jnp.maximum(dist, 1e-30))
+    shadowed = soa.any_hit_soa(scene, over_t, direction, dist, settings)
+    return jnp.mean(shadowed.reshape(n, R).astype(dtype), axis=0)
+
+
+def _lighting_soa(scene, hit, base: V3, light, point: V3, eyev: V3,
+                  normalv: V3, shadow_frac):
+    """Phong (light.rs:98-140)."""
+    take = lambda t: jnp.take(t, hit.prim, axis=0)
+    li = light.intensity
+    effective = V3(base.x * li[0], base.y * li[1], base.z * li[2])
+    lightv = V3(light.position[0] - point.x, light.position[1] - point.y,
+                light.position[2] - point.z).normalize()
+    amb = take(scene.mat_ambient)
+    ambient = effective * amb
+    ldn = lightv.dot(normalv)
+    lit = ldn >= 0.0
+    dscale = jnp.where(lit, take(scene.mat_diffuse) * ldn, 0.0)
+    reflectv = (-lightv).reflect(normalv)
+    rde = reflectv.dot(eyev)
+    spec_on = lit & (rde > 0.0)
+    factor = jnp.power(jnp.maximum(rde, 1e-30), take(scene.mat_shininess))
+    sscale = jnp.where(spec_on, take(scene.mat_specular) * factor, 0.0)
+    unshadow = 1.0 - shadow_frac
+    return V3(
+        ambient.x + (effective.x * dscale + li[0] * sscale) * unshadow,
+        ambient.y + (effective.y * dscale + li[1] * sscale) * unshadow,
+        ambient.z + (effective.z * dscale + li[2] * sscale) * unshadow)
+
+
+def _color_at_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
+                  settings: RenderSettings, key) -> V3:
+    dtype = ro.dtype
+    eps = offset_eps(dtype)
+    hit = soa.closest_hit_soa(scene, ro, rd, settings)
+    found = hit.found
+    t_safe = jnp.where(found, hit.t, 0.0)
+    point = ro + rd * t_safe
+    eyev = -rd
+
+    aff = shade_soa.gathered_affine(scene.prim_inv, hit.prim)
+    lp = shade_soa.apply_gathered_point(aff, point)
+    normalv = shade_soa.normal_at(scene, hit, point, lp)
+    inside = normalv.dot(eyev) < 0.0
+    flip = jnp.where(inside, -1.0, 1.0)
+    normalv = normalv * flip
+    over = point + normalv * eps
+
+    # Pattern is evaluated at over_point (scene.rs:165, light.rs:104).
+    lp_over = shade_soa.apply_gathered_point(aff, over)
+    base = shade_soa.pattern_at(scene, hit, lp_over)
+
+    surface = V3(jnp.zeros_like(point.x), jnp.zeros_like(point.x),
+                 jnp.zeros_like(point.x))
+    for li_i, light in enumerate(scene.lights):
+        lk = jax.random.fold_in(key, 1000 + li_i)
+        frac = _shadow_fraction_soa(scene, light, over, settings, lk)
+        surface = surface + _lighting_soa(scene, hit, base, light, over,
+                                          eyev, normalv, frac)
+
+    color = surface
+    if remaining > 0 and scene.has_reflective:
+        reflectv = rd.reflect(normalv)
+        rc = _color_at_soa(scene, over, reflectv, remaining - 1, settings,
+                           jax.random.fold_in(key, 1))
+        refl = jnp.take(scene.mat_reflective, hit.prim, axis=0)
+        color = color + rc * refl
+
+    return V3(jnp.where(found, color.x, 0.0), jnp.where(found, color.y, 0.0),
+              jnp.where(found, color.z, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Sorted path (CSG / refraction)
+# ---------------------------------------------------------------------------
 
 def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
@@ -48,7 +171,8 @@ def _schlick(eyev, normalv, n1, n2):
     return jnp.where(tir, 1.0, reflectance)
 
 
-def _lighting(scene, prim, base_color, light, point, eyev, normalv, shadow_frac):
+def _lighting(scene, prim, base_color, light, point, eyev, normalv,
+              shadow_frac):
     """Phong (light.rs:98-140). `shadow_frac` in [0,1]."""
     effective = base_color * light.intensity[None, :]
     lightv = _normalize(light.position[None, :] - point)
@@ -67,9 +191,7 @@ def _lighting(scene, prim, base_color, light, point, eyev, normalv, shadow_frac)
 
 
 def _shadow_fraction(scene, light, over, settings, key):
-    """Point lights: binary; area lights: level^2 jittered-grid samples
-    (scene.rs:181-214, light.rs:47-65). Sampling uses a seeded PRNG instead
-    of the reference's thread_rng (documented deviation)."""
+    """Point lights: binary; area lights: level^2 jittered-grid samples."""
     R = over.shape[0]
     dtype = over.dtype
     if light.kind == "point":
@@ -97,20 +219,13 @@ def _shadow_fraction(scene, light, over, settings, key):
     return jnp.mean(shadowed.reshape(n, R).astype(dtype), axis=0)
 
 
-def color_at(scene: sd.SceneData, ro, rd, remaining: int,
-             settings: RenderSettings, key):
-    """Color seen along rays [R,3]; the unrolled Whitted tree."""
+def _color_at_sorted(scene: sd.SceneData, ro, rd, remaining: int,
+                     settings: RenderSettings, key):
+    """Sorted-prefix Whitted node (the unrolled ray tree, AoS arrays)."""
     dtype = ro.dtype
     eps = offset_eps(dtype)
-    # The full sorted hit prefix is only needed when CSG filtering or the
-    # refraction containers walk consume it; otherwise the closest positive
-    # hit is a straight masked argmin (no lax.sort, no top-K tensors).
-    needs_sorted = bool(scene.csg_ops) or scene.has_transparent
-    if needs_sorted:
-        slots = hits_mod.gather_sorted_hits(scene, ro, rd, settings)
-        found, hit_idx, t, prim, u, v = hits_mod.select_hit(slots)
-    else:
-        found, t, prim, u, v = hits_mod.closest_hit(scene, ro, rd, settings)
+    slots = hits_mod.gather_sorted_hits(scene, ro, rd, settings)
+    found, hit_idx, t, prim, u, v = hits_mod.select_hit(slots)
 
     t_safe = jnp.where(found, t, 0.0)
     point = ro + rd * t_safe[:, None]
@@ -128,7 +243,6 @@ def color_at(scene: sd.SceneData, ro, rd, remaining: int,
     else:
         n1 = n2 = jnp.ones_like(t)
 
-    # Surface term: pattern color once, then per-light Phong + shadows.
     base_color = patterns.pattern_at_object(scene, prim, over)
     surface = jnp.zeros_like(ro)
     for li, light in enumerate(scene.lights):
@@ -143,8 +257,8 @@ def color_at(scene: sd.SceneData, ro, rd, remaining: int,
     refracted = jnp.zeros_like(ro)
 
     if remaining > 0 and scene.has_reflective:
-        rc = color_at(scene, over, reflectv, remaining - 1, settings,
-                      jax.random.fold_in(key, 1))
+        rc = _color_at_sorted(scene, over, reflectv, remaining - 1, settings,
+                              jax.random.fold_in(key, 1))
         reflected = rc * reflective[:, None]
 
     if remaining > 0 and scene.has_transparent:
@@ -159,8 +273,8 @@ def color_at(scene: sd.SceneData, ro, rd, remaining: int,
         safe_dir = jnp.where(live[:, None], direction,
                              jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype),
                                               direction.shape))
-        rc = color_at(scene, under, safe_dir, remaining - 1, settings,
-                      jax.random.fold_in(key, 2))
+        rc = _color_at_sorted(scene, under, safe_dir, remaining - 1, settings,
+                              jax.random.fold_in(key, 2))
         refracted = jnp.where(live[:, None], rc * transparency[:, None], 0.0)
 
     if scene.has_reflective and scene.has_transparent:
@@ -176,13 +290,55 @@ def color_at(scene: sd.SceneData, ro, rd, remaining: int,
     return jnp.where(found[:, None], color, 0.0)
 
 
+def needs_sorted_path(scene: sd.SceneData) -> bool:
+    return bool(scene.csg_ops) or scene.has_transparent
+
+
+def color_at(scene: sd.SceneData, ro, rd, remaining: int,
+             settings: RenderSettings, key):
+    """Color seen along rays; accepts [R,3] arrays (public API)."""
+    if needs_sorted_path(scene):
+        return _color_at_sorted(scene, ro, rd, remaining, settings, key)
+    out = _color_at_soa(scene, V3(ro[:, 0], ro[:, 1], ro[:, 2]),
+                        V3(rd[:, 0], rd[:, 1], rd[:, 2]), remaining,
+                        settings, key)
+    return out.to_array()
+
+
 def render(scene: sd.SceneData, cam: CameraData,
            settings: RenderSettings = RenderSettings(), seed: int = 0):
     """Full-frame render -> image [vsize, hsize, 3] (linear, unclamped)."""
-    ro, rd = all_rays(cam)
     key = jax.random.PRNGKey(seed)
-    R = ro.shape[0]
+    R = cam.hsize * cam.vsize
     tile = max(settings.rows_per_tile * cam.hsize, 1)
+    if not needs_sorted_path(scene):
+        ro, rd = all_rays_soa(cam)
+        pad = (-R) % tile
+        if pad:
+            padc = lambda c, f: jnp.concatenate(
+                [c, jnp.full((pad,), f, c.dtype)], 0)
+            ro = V3(padc(ro.x, 0.0), padc(ro.y, 0.0), padc(ro.z, 0.0))
+            rd = V3(padc(rd.x, 0.0), padc(rd.y, 0.0), padc(rd.z, 1.0))
+        n_tiles = (R + pad) // tile
+        resh = lambda v: V3(v.x.reshape(n_tiles, tile),
+                            v.y.reshape(n_tiles, tile),
+                            v.z.reshape(n_tiles, tile))
+        ro_t, rd_t = resh(ro), resh(rd)
+
+        def tile_fn(args):
+            o, d = args
+            return _color_at_soa(scene, o, d, settings.depth, settings, key)
+
+        if n_tiles == 1:
+            out = tile_fn((V3(ro_t.x[0], ro_t.y[0], ro_t.z[0]),
+                           V3(rd_t.x[0], rd_t.y[0], rd_t.z[0])))
+            colors = out.to_array()[:R]
+        else:
+            out = jax.lax.map(tile_fn, (ro_t, rd_t))
+            colors = out.to_array().reshape(-1, 3)[:R]
+        return colors.reshape(cam.vsize, cam.hsize, 3)
+
+    ro, rd = all_rays(cam)
     pad = (-R) % tile
     if pad:
         ro = jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)], 0)
@@ -194,7 +350,7 @@ def render(scene: sd.SceneData, cam: CameraData,
 
     def tile_fn(args):
         o, d = args
-        return color_at(scene, o, d, settings.depth, settings, key)
+        return _color_at_sorted(scene, o, d, settings.depth, settings, key)
 
     if n_tiles == 1:
         colors = tile_fn((ro_t[0], rd_t[0]))[:R]

@@ -1,0 +1,332 @@
+"""SoA shading: normals, uv mappings, pattern trees, Phong lighting.
+
+Component-array ([R]-per-axis) rewrites of ops/normals.py and
+render/patterns.py (see ops/vec.py for the layout rationale). Per-hit
+primitive properties come from component gathers out of the flat scene
+tables — prim_inv/prim_nmat entries are gathered coefficient-by-
+coefficient so no [R, 3] minor axis ever materializes.
+
+Reference semantics: normal dispatch object.rs:52-56 + per-shape
+local_normal_at; uv mappings sphere.rs:126-132, plane.rs:105-113,
+cube.rs:132-174, cylinder.rs:181-196, cone.rs:232-255, torus.rs:150-161;
+patterns material/pattern.rs:145-215; Phong light.rs:98-140.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EPSILON
+from ..ops import noise as fnl
+from ..ops.soa import Hit
+from ..ops.vec import V3
+from ..scene import data as sd
+
+
+def _take(table, idx):
+    return jnp.take(table, idx, axis=0)
+
+
+def _present_types(scene):
+    ns, npl, ncu, ncy, nco, nto, T, _ = scene.counts
+    return {code for code, n in ((sd.SPHERE, ns), (sd.PLANE, npl),
+                                 (sd.CUBE, ncu), (sd.CYLINDER, ncy),
+                                 (sd.CONE, nco), (sd.TORUS, nto),
+                                 (sd.TRIANGLE, T)) if n}
+
+
+def gathered_affine(table, prim):
+    """[P,3,4] (or [P,3,3]) table -> 3x4 nested tuple of [R] coefficients."""
+    rows = []
+    for i in range(table.shape[1]):
+        rows.append(tuple(_take(table[:, i, j], prim)
+                          for j in range(table.shape[2])))
+    return tuple(rows)
+
+
+def apply_gathered_point(m, p: V3) -> V3:
+    return V3(m[0][0] * p.x + m[0][1] * p.y + m[0][2] * p.z + m[0][3],
+              m[1][0] * p.x + m[1][1] * p.y + m[1][2] * p.z + m[1][3],
+              m[2][0] * p.x + m[2][1] * p.y + m[2][2] * p.z + m[2][3])
+
+
+def apply_gathered_linear(m, v: V3) -> V3:
+    return V3(m[0][0] * v.x + m[0][1] * v.y + m[0][2] * v.z,
+              m[1][0] * v.x + m[1][1] * v.y + m[1][2] * v.z,
+              m[2][0] * v.x + m[2][1] * v.y + m[2][2] * v.z)
+
+
+def local_point(scene: sd.SceneData, prim, world_pt: V3) -> V3:
+    """world_to_object via the composed inverse (object.rs:102-109)."""
+    return apply_gathered_point(gathered_affine(scene.prim_inv, prim),
+                                world_pt)
+
+
+def _row_param(table, row):
+    if table.shape[0] == 0:
+        return jnp.zeros_like(row, jnp.float32)
+    return _take(table, jnp.clip(row, 0, table.shape[0] - 1))
+
+
+def normal_at(scene: sd.SceneData, hit: Hit, world_pt: V3,
+              lp: V3 = None) -> V3:
+    """World-space unit normal (pre eye-facing flip)."""
+    present = _present_types(scene)
+    prim = hit.prim
+    if lp is None:
+        lp = local_point(scene, prim, world_pt)
+    ptype = _take(scene.prim_type, prim)
+    row = _take(scene.prim_row, prim)
+    x, y, z = lp.x, lp.y, lp.z
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+
+    n = V3(zero, zero, zero)
+
+    def merge(code, cand: V3) -> V3:
+        m = ptype == code
+        return V3(jnp.where(m, cand.x, n.x), jnp.where(m, cand.y, n.y),
+                  jnp.where(m, cand.z, n.z))
+
+    if sd.SPHERE in present:
+        n = merge(sd.SPHERE, lp)
+    if sd.PLANE in present:
+        n = merge(sd.PLANE, V3(zero, one, zero))
+    if sd.CUBE in present:
+        ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+        maxc = jnp.maximum(ax, jnp.maximum(ay, az))
+        cand = V3(jnp.where(maxc == ax, x, zero),
+                  jnp.where((maxc != ax) & (maxc == ay), y, zero),
+                  jnp.where((maxc != ax) & (maxc != ay), z, zero))
+        n = merge(sd.CUBE, cand)
+    if sd.CYLINDER in present:
+        cmin = _row_param(scene.cyl_min, row)
+        cmax = _row_param(scene.cyl_max, row)
+        dist = x * x + z * z
+        top = (dist < 1.0) & (y >= cmax - EPSILON)
+        bot = (dist < 1.0) & (y <= cmin + EPSILON)
+        cand = V3(jnp.where(top | bot, zero, x),
+                  jnp.where(top, one, jnp.where(bot, -one, zero)),
+                  jnp.where(top | bot, zero, z))
+        n = merge(sd.CYLINDER, cand)
+    if sd.CONE in present:
+        cmin = _row_param(scene.con_min, row)
+        cmax = _row_param(scene.con_max, row)
+        dist = x * x + z * z
+        ny = jnp.sqrt(jnp.maximum(dist, 0.0))
+        ny = jnp.where(y > 0.0, -ny, ny)
+        top = (dist < 1.0) & (y >= cmax - EPSILON)
+        bot = (dist < 1.0) & (y <= cmin + EPSILON)
+        cand = V3(jnp.where(top | bot, zero, x),
+                  jnp.where(top, one, jnp.where(bot, -one, ny)),
+                  jnp.where(top | bot, zero, z))
+        n = merge(sd.CONE, cand)
+    if sd.TORUS in present:
+        r = _row_param(scene.tor_r, row)
+        ss = x * x + y * y + z * z
+        ps = 1.0 + r * r
+        n = merge(sd.TORUS, V3(4.0 * x * (ss - ps), 4.0 * y * (ss - ps),
+                               4.0 * z * (ss - ps + 2.0)))
+
+    world_n = apply_gathered_linear(
+        gathered_affine(scene.prim_nmat, prim), n).normalize()
+
+    if sd.TRIANGLE in present:
+        tri = hit.tri
+
+        def tv3(table):
+            return V3(_take(table[:, 0], tri), _take(table[:, 1], tri),
+                      _take(table[:, 2], tri))
+
+        smooth = _take(scene.tri_smooth, tri)
+        interp = (tv3(scene.tri_n2) * hit.u + tv3(scene.tri_n3) * hit.v
+                  + tv3(scene.tri_n1) * (1.0 - hit.u - hit.v))
+        nflat = tv3(scene.tri_nflat)
+        tri_n = V3(jnp.where(smooth, interp.x, nflat.x),
+                   jnp.where(smooth, interp.y, nflat.y),
+                   jnp.where(smooth, interp.z, nflat.z)).normalize()
+        m = ptype == sd.TRIANGLE
+        world_n = V3(jnp.where(m, tri_n.x, world_n.x),
+                     jnp.where(m, tri_n.y, world_n.y),
+                     jnp.where(m, tri_n.z, world_n.z))
+    return world_n
+
+
+def uv_at(scene: sd.SceneData, hit: Hit, pts: V3):
+    """Per-shape uv_mapping on pattern-space points."""
+    present = _present_types(scene)
+    prim = hit.prim
+    ptype = _take(scene.prim_type, prim)
+    row = _take(scene.prim_row, prim)
+    x, y, z = pts.x, pts.y, pts.z
+    pi = jnp.pi
+    u = jnp.zeros_like(x)
+    v = jnp.zeros_like(x)
+
+    def merge(code, uu, vv):
+        m = ptype == code
+        return jnp.where(m, uu, u), jnp.where(m, vv, v)
+
+    if sd.SPHERE in present:
+        theta = jnp.arctan2(z, x)
+        rr = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+        phi = jnp.arccos(jnp.clip(y / rr, -1.0, 1.0))
+        u, v = merge(sd.SPHERE, (theta + pi) / (2.0 * pi), 1.0 - phi / pi)
+    if sd.PLANE in present:
+        u, v = merge(sd.PLANE, jnp.mod(x, 1.0), jnp.mod(z, 1.0))
+    if sd.CUBE in present:
+        ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+        fx = (ax >= ay) & (ax >= az)
+        fy = ~fx & (ay >= ax) & (ay >= az)
+        ur = jnp.where(x > 0, (z + 1.0) * 0.5, (1.0 - z) * 0.5)
+        uy = (x + 1.0) * 0.5
+        vy = jnp.where(y > 0, (1.0 - z) * 0.5, (z + 1.0) * 0.5)
+        uz = jnp.where(z > 0, (x + 1.0) * 0.5, (1.0 - x) * 0.5)
+        uu = jnp.where(fx, ur, jnp.where(fy, uy, uz))
+        vv = jnp.where(fy, vy, (y + 1.0) * 0.5)
+        u, v = merge(sd.CUBE, uu, vv)
+    if sd.CYLINDER in present:
+        cmin = _row_param(scene.cyl_min, row)
+        cmax = _row_param(scene.cyl_max, row)
+        closed = _row_param(scene.cyl_closed, row) \
+            if scene.cyl_closed.shape[0] else jnp.zeros_like(x, bool)
+        cap = closed & ((y <= cmin) | (y >= cmax))
+        theta = jnp.arctan2(z, x)
+        uu = jnp.where(cap, (x + 1.0) / 2.0, (theta + pi) / (2.0 * pi))
+        vv = jnp.where(cap, (z + 1.0) / 2.0, jnp.mod(y, 1.0))
+        u, v = merge(sd.CYLINDER, uu, vv)
+    if sd.CONE in present:
+        cmin = _row_param(scene.con_min, row)
+        cmax = _row_param(scene.con_max, row)
+        closed = _row_param(scene.con_closed, row) \
+            if scene.con_closed.shape[0] else jnp.zeros_like(x, bool)
+        cap = closed & ((jnp.abs(y - cmin) <= EPSILON)
+                        | (jnp.abs(y - cmax) <= EPSILON))
+        radius = jnp.maximum(jnp.abs(y), 1e-30)
+        theta = (jnp.arctan2(z, x) + pi) / (2.0 * pi)
+        height = jnp.where(jnp.abs(cmax - cmin) < 1e-30, 1e-30, cmax - cmin)
+        # Side uv is (normalized_y, theta) — cone.rs:244-253.
+        uu = jnp.where(cap, (x / radius + 1.0) / 2.0, (y - cmin) / height)
+        vv = jnp.where(cap, (z / radius + 1.0) / 2.0, theta)
+        u, v = merge(sd.CONE, uu, vv)
+    if sd.TORUS in present:
+        uu = (jnp.arctan2(y, x) + pi) / (2.0 * pi)
+        dist = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-30)) - 1.0
+        vv = (jnp.arctan2(z, dist) + pi) / (2.0 * pi)
+        u, v = merge(sd.TORUS, uu, vv)
+    if sd.TRIANGLE in present:
+        tri = hit.tri
+
+        def tv3(table):
+            return V3(_take(table[:, 0], tri), _take(table[:, 1], tri),
+                      _take(table[:, 2], tri))
+
+        p1 = tv3(scene.tri_p1)
+        e1 = tv3(scene.tri_e1)
+        e2 = tv3(scene.tri_e2)
+        w = pts - p1
+        d00 = e1.dot(e1)
+        d01 = e1.dot(e2)
+        d11 = e2.dot(e2)
+        d20 = w.dot(e1)
+        d21 = w.dot(e2)
+        denom = d00 * d11 - d01 * d01
+        denom = jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+        u, v = merge(sd.TRIANGLE, (d11 * d20 - d01 * d21) / denom,
+                     (d00 * d21 - d01 * d20) / denom)
+    return u, v
+
+
+# ---------------------------------------------------------------------------
+# Patterns
+# ---------------------------------------------------------------------------
+
+def _apply_inv(inv, p: V3) -> V3:
+    """Pattern-node [3,4] inverse (a single matrix, statically indexed)."""
+    return V3(inv[0, 0] * p.x + inv[0, 1] * p.y + inv[0, 2] * p.z + inv[0, 3],
+              inv[1, 0] * p.x + inv[1, 1] * p.y + inv[1, 2] * p.z + inv[1, 3],
+              inv[2, 0] * p.x + inv[2, 1] * p.y + inv[2, 2] * p.z + inv[2, 3])
+
+
+def _even(x):
+    return jnp.mod(jnp.floor(x), 2.0) == 0.0
+
+
+def _sample_texture(texture, uu, vv):
+    h, w = texture.shape[0], texture.shape[1]
+    uu = jnp.clip(uu, 0.0, 1.0)
+    vv = jnp.clip(vv, 0.0, 1.0)
+    xi = jnp.minimum((uu * w).astype(jnp.int32), w - 1)
+    yi = h - 1 - jnp.minimum((vv * h).astype(jnp.int32), h - 1)
+    flat = yi * w + xi
+    return V3(jnp.take(texture[:, :, 0].reshape(-1), flat),
+              jnp.take(texture[:, :, 1].reshape(-1), flat),
+              jnp.take(texture[:, :, 2].reshape(-1), flat))
+
+
+def eval_pattern(node: sd.PatternData, pts: V3, uv_ctx) -> V3:
+    p = _apply_inv(node.inv, pts)
+    t = node.ptype
+    if t == "solid":
+        like = jnp.ones_like(p.x)
+        return V3(node.color[0] * like, node.color[1] * like,
+                  node.color[2] * like)
+    if t == "test":
+        return p
+    if t in ("stripe", "ring", "checker"):
+        if t == "stripe":
+            cond = _even(p.x)
+        elif t == "ring":
+            cond = _even(jnp.sqrt(p.x * p.x + p.z * p.z))
+        else:
+            cond = _even(jnp.floor(p.x) + jnp.floor(p.y) + jnp.floor(p.z))
+        a = eval_pattern(node.a, p, uv_ctx)
+        b = eval_pattern(node.b, p, uv_ctx)
+        return V3(jnp.where(cond, a.x, b.x), jnp.where(cond, a.y, b.y),
+                  jnp.where(cond, a.z, b.z))
+    if t == "gradient":
+        a = eval_pattern(node.a, p, uv_ctx)
+        b = eval_pattern(node.b, p, uv_ctx)
+        frac = p.x - jnp.floor(p.x)
+        return a + (b - a) * frac
+    if t == "blend":
+        a = eval_pattern(node.a, p, uv_ctx)
+        b = eval_pattern(node.b, p, uv_ctx)
+        return a * (1.0 - node.scale) + b * node.scale
+    if t == "perturbed":
+        oc, pe = node.octaves, node.persistence
+        nx = fnl.octave_perlin(p.x, p.y, p.z, oc, pe) * node.scale
+        ny = fnl.octave_perlin(p.x, p.y, p.z + 1.0, oc, pe) * node.scale
+        nz = fnl.octave_perlin(p.x, p.y, p.z + 2.0, oc, pe) * node.scale
+        return eval_pattern(node.a, p + V3(nx, ny, nz), uv_ctx)
+    if t == "noise":
+        n = fnl.octave_perlin(p.x, p.y, p.z, node.octaves,
+                              node.persistence) * node.scale
+        a = eval_pattern(node.a, p, uv_ctx)
+        b = eval_pattern(node.b, p, uv_ctx)
+        neg = n <= 0.0
+        return V3(jnp.where(neg, a.x * -n, b.x * n),
+                  jnp.where(neg, a.y * -n, b.y * n),
+                  jnp.where(neg, a.z * -n, b.z * n))
+    if t == "image":
+        uu, vv = uv_ctx(p)
+        return _sample_texture(node.texture, uu, vv)
+    raise ValueError(f"unknown pattern type {t!r}")
+
+
+def pattern_at(scene: sd.SceneData, hit: Hit, obj_pts: V3) -> V3:
+    """pattern_at_object (material.rs:77-80) on already-object-space points."""
+    def uv_ctx(pattern_pts):
+        return uv_at(scene, hit, pattern_pts)
+
+    if len(scene.patterns) == 1:
+        return eval_pattern(scene.patterns[0], obj_pts, uv_ctx)
+    pid = _take(scene.pattern_id, hit.prim)
+    out = V3(jnp.zeros_like(obj_pts.x), jnp.zeros_like(obj_pts.x),
+             jnp.zeros_like(obj_pts.x))
+    for i, root in enumerate(scene.patterns):
+        color = eval_pattern(root, obj_pts, uv_ctx)
+        m = pid == i
+        out = V3(jnp.where(m, color.x, out.x), jnp.where(m, color.y, out.y),
+                 jnp.where(m, color.z, out.z))
+    return out

@@ -260,6 +260,9 @@ class SceneData:
     has_reflective: bool
     has_transparent: bool
     counts: Tuple[int, ...]  # (Ns, Npl, Ncu, Ncy, Nco, Nto, T, P)
+    # Static copies of prim_type/prim_row (SoA path unrolls over leaves).
+    prim_kinds: Tuple[int, ...]
+    prim_rows_static: Tuple[int, ...]
 
 
 _register(SceneData,
@@ -275,7 +278,8 @@ _register(SceneData,
               "tri_n1", "tri_n2", "tri_n3", "tri_smooth", "tri_prim",
               "csg_side", "lights", "patterns",
           ),
-          meta_fields=("csg_ops", "has_reflective", "has_transparent", "counts"))
+          meta_fields=("csg_ops", "has_reflective", "has_transparent",
+                       "counts", "prim_kinds", "prim_rows_static"))
 
 
 # --------------------------------------------------------------------------
@@ -536,6 +540,8 @@ def compile_scene(objects, lights, dtype=None) -> SceneData:
         counts=(int(sph_prim.shape[0]), int(pla_prim.shape[0]),
                 int(cub_prim.shape[0]), int(cyl_prim.shape[0]),
                 int(con_prim.shape[0]), int(tor_prim.shape[0]), T, P),
+        prim_kinds=tuple(int(t) for t in prim_type),
+        prim_rows_static=tuple(int(r) for r in prim_row),
     )
 
 

@@ -55,3 +55,6 @@ class RenderSettings:
     tri_chunk: int = 512
     # Pixel rows rendered per device step (bounds wavefront memory).
     rows_per_tile: int = 64
+    # Cap on rays-per-tile x tri_chunk elements (bounds the [R, C]
+    # ray/triangle intermediates; 32M f32 elems = 128 MB per buffer).
+    max_rc_elems: int = 32 * 1024 * 1024

@@ -57,7 +57,42 @@ def parse_obj(text: str):
     return positions, normals, meshes
 
 
+def _shapes_from_tables(positions, normals, tri_v, tri_n, offsets, material):
+    """Build per-mesh Groups from the native parser's flat tables."""
+    groups = []
+    start = 0
+    for end in offsets:
+        tris = []
+        for k in range(start, end):
+            v0, v1, v2 = tri_v[k]
+            n0, n1, n2 = tri_n[k]
+            if n0 >= 0 and n1 >= 0 and n2 >= 0:
+                tris.append(Shape("smooth_triangle", material=material,
+                                  p1=positions[v0], p2=positions[v1],
+                                  p3=positions[v2], n1=normals[n0],
+                                  n2=normals[n1], n3=normals[n2]))
+            else:
+                tris.append(Shape("triangle", material=material,
+                                  p1=positions[v0], p2=positions[v1],
+                                  p3=positions[v2]))
+        groups.append(Shape("group", children=tuple(tris)))
+        start = end
+    if len(groups) == 1:
+        return groups[0]
+    return Shape("group", children=tuple(groups))
+
+
 def load_obj_str(text: str, material: Material) -> Shape:
+    from .native import parse_obj_native
+
+    parsed = parse_obj_native(text)
+    if parsed is not None:
+        positions, normals, tri_v, tri_n, offsets = parsed
+        if not offsets:
+            raise ValueError("No models found in OBJ input")
+        return _shapes_from_tables(positions, normals, tri_v, tri_n,
+                                   offsets, material)
+
     positions, normals, meshes = parse_obj(text)
     if not meshes:
         raise ValueError("No models found in OBJ input")

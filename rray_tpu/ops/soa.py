@@ -320,6 +320,131 @@ def closest_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, settings) -> Hit:
                u=best_u, v=best_v, tri=best_tri)
 
 
+# ---------------------------------------------------------------------------
+# Sorted slot list (SoA): for CSG filtering and the refraction n1/n2 walk.
+# Analytic scenes only (triangle meshes fall back to the AoS top-K path).
+# ---------------------------------------------------------------------------
+
+def sorted_slots_soa(scene: sd.SceneData, ro: V3, rd: V3):
+    """All hit slots sorted ascending by t as [K, R] arrays (t, prim,
+    valid) — rays in the minor (lane) axis, slots in the major axis, so
+    lax.sort(dimension=0) is a per-ray K-element sort with full lane
+    utilization (the SoA replacement for scene.rs:97-106). lax.sort is
+    stable, preserving insertion order on ties like the reference's Vec
+    sort."""
+    R = ro.x.shape
+    ts, prims, valids = [], [], []
+    for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
+                                          scene.prim_rows_static)):
+        assert kind != sd.TRIANGLE, "mesh scenes use the AoS sorted path"
+        for t, valid in _leaf_slots(scene, kind, row, ro, rd):
+            ts.append(jnp.where(valid, t, _INF))
+            prims.append(jnp.full(R, pid, jnp.int32))
+            valids.append(valid)
+    t = jnp.stack(ts, axis=0)
+    prim = jnp.stack(prims, axis=0)
+    valid = jnp.stack(valids, axis=0)
+    t, prim, valid = jax.lax.sort((t, prim, valid), dimension=0, num_keys=1,
+                                  is_stable=True)
+    return t, prim, valid
+
+
+def apply_csg_soa(scene: sd.SceneData, slots):
+    """Replay filter_intersections (csg.rs:177-195) per CSG node over the
+    sorted [K, R] slots, innermost first. Dropped slots keep their t (for
+    ordering) but lose validity."""
+    t, prim, valid = slots
+    for ci, op in enumerate(scene.csg_ops):
+        side_table = scene.csg_side[ci]
+        side = jnp.where(valid, jnp.take(side_table, prim), 0)
+
+        def step(carry, xs):
+            inl, inr = carry
+            s, v = xs
+            lhit = s == 1
+            under = s > 0
+            if op == sd.CSG_UNION:
+                allowed = (lhit & ~inr) | (~lhit & ~inl)
+            elif op == sd.CSG_INTERSECTION:
+                allowed = (lhit & inr) | (~lhit & inl)
+            else:
+                allowed = (lhit & ~inr) | (~lhit & inl)
+            keep = ~under | allowed
+            inl = inl ^ (s == 1)
+            inr = inr ^ (s == 2)
+            return (inl, inr), keep
+
+        R = t.shape[1:]
+        init = (jnp.zeros(R, bool), jnp.zeros(R, bool))
+        _, keep = jax.lax.scan(step, init, (side, valid))
+        valid = valid & keep
+    return t, prim, valid
+
+
+def select_hit_slots(slots):
+    """First valid slot with t >= 0 (scene.rs:128-136). Returns
+    (found[R], t[R], prim[R], hit_slot_index[R])."""
+    t, prim, valid = slots
+    pos = valid & (t >= 0.0)
+    found = jnp.any(pos, axis=0)
+    idx = jnp.argmax(pos, axis=0)
+    take = lambda a: jnp.take_along_axis(a, idx[None, :], axis=0)[0]
+    return found, take(t), take(prim), idx
+
+
+def refractive_indices_soa(scene: sd.SceneData, slots, hit_idx, depth: int):
+    """n1/n2 containers walk (intersection.rs:61-92) over [K, R] slots.
+
+    The ordered container list lives as a [depth, R] id stack plus a size
+    counter; membership toggles are masked shifts/writes inside one
+    lax.scan over the K slot axis."""
+    t, prim_all, valid_all = slots
+    K = t.shape[0]
+    R = t.shape[1:]
+    dtype = t.dtype
+    lane = jnp.arange(depth)[:, None]
+
+    def top_ior(ids, size):
+        last = jnp.take_along_axis(
+            ids, jnp.maximum(size - 1, 0)[None, :], axis=0)[0]
+        ior = jnp.take(scene.mat_ior, jnp.maximum(last, 0))
+        return jnp.where(size == 0, jnp.asarray(1.0, dtype), ior)
+
+    def step(carry, xs):
+        ids, size, n1, n2 = carry
+        k, prim, valid = xs
+        is_hit = hit_idx == k
+        n1 = jnp.where(is_hit & valid, top_ior(ids, size), n1)
+
+        occupied = lane < size[None, :]
+        eq = (ids == prim[None, :]) & occupied
+        present = jnp.any(eq, axis=0)
+        pos = jnp.argmax(eq, axis=0)
+        shifted = jnp.concatenate(
+            [ids[1:], jnp.full((1,) + R, -1, ids.dtype)], axis=0)
+        removed = jnp.where(lane >= pos[None, :], shifted, ids)
+        pushed = jnp.where(lane == size[None, :], prim[None, :], ids)
+        new_ids = jnp.where(present[None, :], removed, pushed)
+        new_size = jnp.where(present, size - 1, jnp.minimum(size + 1, depth))
+        ids = jnp.where(valid[None, :], new_ids, ids)
+        size = jnp.where(valid, new_size, size)
+
+        n2 = jnp.where(is_hit & valid, top_ior(ids, size), n2)
+        return (ids, size, n1, n2), None
+
+    init = (jnp.full((depth,) + R, -1, jnp.int32), jnp.zeros(R, jnp.int32),
+            jnp.ones(R, dtype), jnp.ones(R, dtype))
+    (_, _, n1, n2), _ = jax.lax.scan(
+        step, init, (jnp.arange(K), prim_all, valid_all))
+    return n1, n2
+
+
+def any_hit_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, distance):
+    """Shadow test honoring CSG filtering (scene.rs:234-245)."""
+    t, prim, valid = apply_csg_soa(scene, sorted_slots_soa(scene, ro, rd))
+    return jnp.any(valid & (t >= 0.0) & (t < distance[None, :]), axis=0)
+
+
 def any_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, distance, settings):
     """Shadow test: any hit with 0 <= t < distance (scene.rs:234-245)."""
     hit = jnp.zeros(ro.x.shape, bool)

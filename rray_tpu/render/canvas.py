@@ -24,9 +24,22 @@ def to_u8(image: np.ndarray) -> np.ndarray:
 
 
 def write_png(path: str, image: np.ndarray, aa: int = 1) -> None:
+    image = downsample(np.asarray(image), aa)
+
+    # Native tier: C++ quantizer + zlib PNG encoder (native/rray_host.cpp).
+    from ..io.native import encode_png_native, quantize_native
+
+    rgba = quantize_native(np.nan_to_num(np.asarray(image, np.float32)))
+    if rgba is not None:
+        png = encode_png_native(rgba)
+        if png is not None:
+            with open(path, "wb") as f:
+                f.write(png)
+            return
+
     from PIL import Image
 
-    data = to_u8(downsample(np.asarray(image), aa))
+    data = to_u8(image)
     rgba = np.concatenate([data, np.full(data.shape[:2] + (1,), 255, np.uint8)],
                           axis=-1)
     Image.fromarray(rgba, "RGBA").save(path)

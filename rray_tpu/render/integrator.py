@@ -39,6 +39,12 @@ from .camera import CameraData, all_rays, all_rays_soa
 # SoA fast path
 # ---------------------------------------------------------------------------
 
+def _shadow_test_soa(scene, over: V3, direction: V3, dist, settings):
+    if scene.csg_ops:
+        return soa.any_hit_sorted_soa(scene, over, direction, dist)
+    return soa.any_hit_soa(scene, over, direction, dist, settings)
+
+
 def _shadow_fraction_soa(scene, light, over: V3, settings, key):
     """Point: binary; area: level^2 jittered-grid samples folded into the
     ray axis (scene.rs:181-214, light.rs:47-65; seeded PRNG instead of
@@ -49,7 +55,7 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
                       light.position[2] - over.z)
         dist = to_light.norm()
         direction = to_light * (1.0 / jnp.maximum(dist, 1e-30))
-        shadowed = soa.any_hit_soa(scene, over, direction, dist, settings)
+        shadowed = _shadow_test_soa(scene, over, direction, dist, settings)
         return shadowed.astype(dtype)
 
     level = light.level
@@ -71,7 +77,7 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
     to_light = pos - over_t
     dist = to_light.norm()
     direction = to_light * (1.0 / jnp.maximum(dist, 1e-30))
-    shadowed = soa.any_hit_soa(scene, over_t, direction, dist, settings)
+    shadowed = _shadow_test_soa(scene, over_t, direction, dist, settings)
     return jnp.mean(shadowed.reshape(n, R).astype(dtype), axis=0)
 
 
@@ -140,6 +146,145 @@ def _color_at_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
 
     return V3(jnp.where(found, color.x, 0.0), jnp.where(found, color.y, 0.0),
               jnp.where(found, color.z, 0.0))
+
+
+def _schlick_soa(eyev: V3, normalv: V3, n1, n2):
+    """Fresnel approximation (computations.rs:39-54), component form."""
+    cos = eyev.dot(normalv)
+    n = n1 / n2
+    sin2_t = n * n * (1.0 - cos * cos)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_eff = jnp.where(n1 > n2, cos_t, cos)
+    r0 = ((n1 - n2) / (n1 + n2)) ** 2
+    reflectance = r0 + (1.0 - r0) * (1.0 - cos_eff) ** 5
+    tir = (n1 > n2) & (sin2_t > 1.0)
+    return jnp.where(tir, 1.0, reflectance)
+
+
+def _sorted_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
+                      settings: RenderSettings, key):
+    """One sorted-path Whitted node over a ray batch (component form).
+
+    Returns (surface V3, found, over V3, under V3, reflect dir V3,
+    refract dir V3, reflect weight [R], refract weight [R]) — the weights
+    carry the reference's reflective/transparency factors with the
+    Schlick blend pre-applied when both are active (scene.rs:159-178), so
+    the Whitted ray TREE evaluates as a weighted SUM over tree paths.
+    """
+    dtype = ro.dtype
+    eps = offset_eps(dtype)
+    slots = soa.sorted_slots_soa(scene, ro, rd)
+    if scene.csg_ops:
+        slots = soa.apply_csg_soa(scene, slots)
+    found, t, prim, hit_idx = soa.select_hit_slots(slots)
+    zero = jnp.zeros_like(t)
+    hit = soa.Hit(found=found, t=t, prim=prim, u=zero, v=zero,
+                  tri=jnp.zeros_like(prim))
+
+    t_safe = jnp.where(found, t, 0.0)
+    point = ro + rd * t_safe
+    eyev = -rd
+    aff = shade_soa.gathered_affine(scene.prim_inv, prim)
+    lp = shade_soa.apply_gathered_point(aff, point)
+    normalv = shade_soa.normal_at(scene, hit, point, lp)
+    inside = normalv.dot(eyev) < 0.0
+    normalv = normalv * jnp.where(inside, -1.0, 1.0)
+    over = point + normalv * eps
+    under = point - normalv * eps
+
+    if scene.has_transparent:
+        n1, n2 = soa.refractive_indices_soa(scene, slots, hit_idx,
+                                            settings.containers_depth)
+    else:
+        n1 = n2 = jnp.ones_like(t)
+
+    lp_over = shade_soa.apply_gathered_point(aff, over)
+    base = shade_soa.pattern_at(scene, hit, lp_over)
+    surface = V3(zero, zero, zero)
+    for li_i, light in enumerate(scene.lights):
+        lk = jax.random.fold_in(key, 1000 + li_i)
+        frac = _shadow_fraction_soa(scene, light, over, settings, lk)
+        surface = surface + _lighting_soa(scene, hit, base, light, over,
+                                          eyev, normalv, frac)
+    surface = V3(jnp.where(found, surface.x, 0.0),
+                 jnp.where(found, surface.y, 0.0),
+                 jnp.where(found, surface.z, 0.0))
+
+    take = lambda tb: jnp.take(tb, prim, axis=0)
+    reflective = jnp.where(found, take(scene.mat_reflective), 0.0)
+    transparency = jnp.where(found, take(scene.mat_transparency), 0.0)
+
+    reflectv = rd.reflect(normalv)
+    # Refraction direction + TIR (scene.rs:310-336).
+    n_ratio = n1 / n2
+    cos_i = eyev.dot(normalv)
+    sin2_t = n_ratio * n_ratio * (1.0 - cos_i * cos_i)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    direction = normalv * (n_ratio * cos_i - cos_t) - eyev * n_ratio
+    live = found & ~tir & (transparency > 0.0)
+    refr_dir = V3(jnp.where(live, direction.x, 0.0),
+                  jnp.where(live, direction.y, 0.0),
+                  jnp.where(live, direction.z, 1.0))
+
+    refl_w = reflective
+    refr_w = jnp.where(live, transparency, 0.0)
+    if scene.has_reflective and scene.has_transparent:
+        both = (reflective > 0.0) & (transparency > 0.0)
+        reflectance = _schlick_soa(eyev, normalv, n1, n2)
+        refl_w = jnp.where(both, reflective * reflectance, refl_w)
+        refr_w = jnp.where(both, refr_w * (1.0 - reflectance), refr_w)
+
+    return surface, over, under, reflectv, refr_dir, refl_w, refr_w
+
+
+def _concat_v3(a: V3, b: V3) -> V3:
+    return V3(jnp.concatenate([a.x, b.x]), jnp.concatenate([a.y, b.y]),
+              jnp.concatenate([a.z, b.z]))
+
+
+def _color_at_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
+                         settings: RenderSettings, key) -> V3:
+    """Level-synchronous wavefront over the Whitted ray tree.
+
+    Instead of unrolling the 2^(d+1)-1-node recursion (63 copies of the
+    node graph at depth 5 — minutes of XLA compile), each depth level is
+    ONE batched node evaluation over the concatenated child rays of the
+    previous level, with per-ray scalar path weights. Total work equals
+    the recursive tree exactly; graph size is depth+1 node copies.
+    """
+    R = ro.x.shape[0]
+    acc = V3(jnp.zeros(R, ro.dtype), jnp.zeros(R, ro.dtype),
+             jnp.zeros(R, ro.dtype))
+    spawn_refr = scene.has_transparent
+    spawn_refl = scene.has_reflective
+
+    origins, dirs = ro, rd
+    weights = jnp.ones(R, ro.dtype)
+    for level in range(remaining + 1):
+        lk = jax.random.fold_in(key, level)
+        surface, over, under, reflectv, refr_dir, refl_w, refr_w = \
+            _sorted_node_eval(scene, origins, dirs, settings, lk)
+        contrib = surface * weights
+        width = contrib.x.shape[0] // R
+        acc = acc + V3(contrib.x.reshape(width, R).sum(0),
+                       contrib.y.reshape(width, R).sum(0),
+                       contrib.z.reshape(width, R).sum(0))
+        if level == remaining:
+            break
+        if spawn_refl and spawn_refr:
+            origins = _concat_v3(over, under)
+            dirs = _concat_v3(reflectv, refr_dir)
+            weights = jnp.concatenate([weights * refl_w, weights * refr_w])
+        elif spawn_refl:
+            origins, dirs = over, reflectv
+            weights = weights * refl_w
+        elif spawn_refr:
+            origins, dirs = under, refr_dir
+            weights = weights * refr_w
+        else:
+            break
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -294,15 +439,44 @@ def needs_sorted_path(scene: sd.SceneData) -> bool:
     return bool(scene.csg_ops) or scene.has_transparent
 
 
+def _soa_node_fn(scene: sd.SceneData):
+    """Pick the SoA integrator node for this scene, or None when only the
+    AoS machinery can handle it (sorted path over triangle meshes)."""
+    if not needs_sorted_path(scene):
+        return _color_at_soa
+    if scene.counts[6] == 0:
+        return _color_at_sorted_soa
+    return None
+
+
 def color_at(scene: sd.SceneData, ro, rd, remaining: int,
              settings: RenderSettings, key):
     """Color seen along rays; accepts [R,3] arrays (public API)."""
-    if needs_sorted_path(scene):
+    node = _soa_node_fn(scene)
+    if node is None:
         return _color_at_sorted(scene, ro, rd, remaining, settings, key)
-    out = _color_at_soa(scene, V3(ro[:, 0], ro[:, 1], ro[:, 2]),
-                        V3(rd[:, 0], rd[:, 1], rd[:, 2]), remaining,
-                        settings, key)
+    out = node(scene, V3(ro[:, 0], ro[:, 1], ro[:, 2]),
+               V3(rd[:, 0], rd[:, 1], rd[:, 2]), remaining, settings, key)
     return out.to_array()
+
+
+def _tile_rays(scene: sd.SceneData, cam: CameraData,
+               settings: RenderSettings) -> int:
+    """Rays per device step, capped so [R, C] triangle intermediates (and
+    their area-light-sample multiples) stay within max_rc_elems."""
+    rows = settings.rows_per_tile
+    if scene.has_transparent and scene.has_reflective:
+        # The wavefront widens to 2^depth x rays at the last level.
+        max_rays = max(settings.max_rc_elems // (2 ** settings.depth), 1)
+        rows = min(rows, max(max_rays // cam.hsize, 1))
+    T = scene.counts[6]
+    if T:
+        chunk = min(settings.tri_chunk, T)
+        samples = max([1] + [l.level ** 2 for l in scene.lights
+                             if l.kind == "area"])
+        max_rays = max(settings.max_rc_elems // (chunk * samples), 1)
+        rows = min(rows, max(max_rays // cam.hsize, 1))
+    return max(rows * cam.hsize, 1)
 
 
 def render(scene: sd.SceneData, cam: CameraData,
@@ -310,8 +484,9 @@ def render(scene: sd.SceneData, cam: CameraData,
     """Full-frame render -> image [vsize, hsize, 3] (linear, unclamped)."""
     key = jax.random.PRNGKey(seed)
     R = cam.hsize * cam.vsize
-    tile = max(settings.rows_per_tile * cam.hsize, 1)
-    if not needs_sorted_path(scene):
+    tile = _tile_rays(scene, cam, settings)
+    node = _soa_node_fn(scene)
+    if node is not None:
         ro, rd = all_rays_soa(cam)
         pad = (-R) % tile
         if pad:
@@ -327,7 +502,7 @@ def render(scene: sd.SceneData, cam: CameraData,
 
         def tile_fn(args):
             o, d = args
-            return _color_at_soa(scene, o, d, settings.depth, settings, key)
+            return node(scene, o, d, settings.depth, settings, key)
 
         if n_tiles == 1:
             out = tile_fn((V3(ro_t.x[0], ro_t.y[0], ro_t.z[0]),

@@ -10,6 +10,7 @@ from __future__ import annotations
 import logging
 import time
 
+import jax
 import numpy as np
 
 from .config import RenderSettings, default_dtype
@@ -61,7 +62,8 @@ def render_scene(camera_spec, lights, shapes, width: int, height: int,
     scene, cam = _build(camera_spec, lights, shapes, width, height, aa, dtype)
 
     t0 = time.perf_counter()
-    image = np.asarray(render(scene, cam, settings=settings, seed=seed))
+    fn = jax.jit(render, static_argnames=("settings", "seed"))
+    image = np.asarray(fn(scene, cam, settings=settings, seed=seed))
     dt = time.perf_counter() - t0
     rays = cam.hsize * cam.vsize
     log.info("rendered %dx%d (aa=%d): %.2fs, %.3g primary rays/s",

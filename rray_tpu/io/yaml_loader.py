@@ -68,6 +68,24 @@ def _sub_pattern(parent_transform, color, pattern_yaml, base_dir) -> Pattern:
     return create_pattern(pattern_yaml, base_dir)
 
 
+def _resolve(file: str, base_dir: str) -> str:
+    """Resolve a scene-referenced file: absolute, relative to the YAML's
+    directory, relative to CWD (the reference resolves against CWD), or
+    relative to any ancestor of the YAML's directory (reference scenes
+    use repo-root-relative paths like 'examples/foo.jpg')."""
+    if os.path.isabs(file):
+        return file
+    candidates = [os.path.join(base_dir, file), file]
+    parent = os.path.abspath(base_dir)
+    for _ in range(4):
+        parent = os.path.dirname(parent)
+        candidates.append(os.path.join(parent, file))
+    for cand in candidates:
+        if os.path.exists(cand):
+            return cand
+    return candidates[0]
+
+
 def create_pattern(p: Optional[dict], base_dir: str) -> Pattern:
     if not isinstance(p, dict):
         raise ValueError("pattern type not found")
@@ -99,11 +117,8 @@ def create_pattern(p: Optional[dict], base_dir: str) -> Pattern:
     if ptype == "image":
         from ..render.canvas import read_image
 
-        file = p["file"]
-        path = file if os.path.isabs(file) else os.path.join(base_dir, file)
-        if not os.path.exists(path) and os.path.exists(file):
-            path = file
-        return Pattern("image", transform, texture=read_image(path))
+        return Pattern("image", transform,
+                       texture=read_image(_resolve(p["file"], base_dir)))
     # Unknown pattern -> solid black (scene_builder_yaml.rs:297).
     return Pattern.solid([0.0, 0.0, 0.0], transform)
 
@@ -152,11 +167,7 @@ def create_shape(s: dict, base_dir: str) -> Shape:
         shape = Shape("torus", transform, material,
                       minor_radius=float(s["minor_radius"]))
     elif kind == "obj_file":
-        file = s["obj_file"]
-        path = file if os.path.isabs(file) else os.path.join(base_dir, file)
-        if not os.path.exists(path) and os.path.exists(file):
-            path = file
-        shape = load_obj_file(path, material)
+        shape = load_obj_file(_resolve(s["obj_file"], base_dir), material)
         shape.transform = transform
     elif kind == "group":
         children = []

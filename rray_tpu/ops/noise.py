@@ -102,19 +102,20 @@ def get_noise_3d(x, y, z, seed: int = DEFAULT_SEED, frequency: float = DEFAULT_F
     return single_perlin3(x * f, y * f, z * f, seed=seed)
 
 
-def octave_perlin(x, y, z, octaves: int, persistence: float):
-    """fBm normalized by total amplitude (noise.rs:50-63). `octaves` is static."""
+def octave_perlin(x, y, z, octaves: int, persistence):
+    """fBm normalized by total amplitude (noise.rs:50-63). `octaves` is
+    static; `persistence` may be a traced (differentiable) scalar."""
     x = jnp.asarray(x)
     dtype = x.dtype
     total = jnp.zeros_like(x)
     frequency = 1.0
-    amplitude = 1.0
-    max_value = 0.0
+    amplitude = jnp.asarray(1.0, dtype)
+    max_value = jnp.asarray(0.0, dtype)
     for _ in range(max(int(octaves), 0)):
-        total = total + get_noise_3d(x * frequency, y * frequency, z * frequency) * jnp.asarray(amplitude, dtype)
-        max_value += amplitude
-        amplitude *= persistence
+        total = total + get_noise_3d(x * frequency, y * frequency,
+                                     z * frequency) * amplitude
+        max_value = max_value + amplitude
+        amplitude = amplitude * persistence
         frequency *= 2.0
-    if max_value == 0.0:
-        return total
-    return total / jnp.asarray(max_value, dtype)
+    return jnp.where(max_value == 0.0, total,
+                     total / jnp.where(max_value == 0.0, 1.0, max_value))

@@ -333,20 +333,19 @@ def sorted_slots_soa(scene: sd.SceneData, ro: V3, rd: V3):
     stable, preserving insertion order on ties like the reference's Vec
     sort."""
     R = ro.x.shape
-    ts, prims, valids = [], [], []
+    ts, prims = [], []
     for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
                                           scene.prim_rows_static)):
         assert kind != sd.TRIANGLE, "mesh scenes use the AoS sorted path"
         for t, valid in _leaf_slots(scene, kind, row, ro, rd):
             ts.append(jnp.where(valid, t, _INF))
             prims.append(jnp.full(R, pid, jnp.int32))
-            valids.append(valid)
     t = jnp.stack(ts, axis=0)
     prim = jnp.stack(prims, axis=0)
-    valid = jnp.stack(valids, axis=0)
-    t, prim, valid = jax.lax.sort((t, prim, valid), dimension=0, num_keys=1,
-                                  is_stable=True)
-    return t, prim, valid
+    # Validity is recoverable as isfinite(t), so only (t, prim) is sorted.
+    t, prim = jax.lax.sort((t, prim), dimension=0, num_keys=1,
+                           is_stable=True)
+    return t, prim, jnp.isfinite(t)
 
 
 def apply_csg_soa(scene: sd.SceneData, slots):

@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..config import RenderSettings
 from ..render import integrator
@@ -62,7 +66,7 @@ def render_sharded(scene: sd.SceneData, cam: CameraData, mesh: Mesh,
     key = jax.random.PRNGKey(seed)
 
     @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis), P(axis), P()),
-             out_specs=P(axis), check_rep=False)
+             out_specs=P(axis))
     def shard_render(scene_, ro_, rd_, key_):
         # Each device folds its mesh position into the sampling key so
         # area-light jitter stays decorrelated across shards.

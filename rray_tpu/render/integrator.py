@@ -466,8 +466,10 @@ def _tile_rays(scene: sd.SceneData, cam: CameraData,
     their area-light-sample multiples) stay within max_rc_elems."""
     rows = settings.rows_per_tile
     if scene.has_transparent and scene.has_reflective:
-        # The wavefront widens to 2^depth x rays at the last level.
-        max_rays = max(settings.max_rc_elems // (2 ** settings.depth), 1)
+        # The wavefront widens to 2^depth x rays at the last level, and
+        # each widened ray carries [K, R] sort buffers — keep the widened
+        # batch well under HBM (observed device crashes at ~15M rays).
+        max_rays = max(settings.max_rc_elems // (8 * 2 ** settings.depth), 1)
         rows = min(rows, max(max_rays // cam.hsize, 1))
     T = scene.counts[6]
     if T:

@@ -58,3 +58,6 @@ class RenderSettings:
     # Cap on rays-per-tile x tri_chunk elements (bounds the [R, C]
     # ray/triangle intermediates; 32M f32 elems = 128 MB per buffer).
     max_rc_elems: int = 32 * 1024 * 1024
+    # Pallas triangle kernel: "auto" (TPU + float32), "on", "off", or
+    # "interpret" (debugging on CPU).
+    pallas: str = "auto"

@@ -1,0 +1,139 @@
+"""Pallas TPU kernel: fused Möller–Trumbore closest-hit over a mesh.
+
+The XLA path streams [R, C] ray/triangle intermediates through HBM
+between the intersection math and the min-reduction. This kernel keeps
+everything in VMEM: the grid tiles the ray axis; each program holds the
+full triangle component tables (SoA, a few hundred KB for typical
+meshes) in VMEM and loops over lane-aligned chunks, folding the running
+per-ray minimum in registers/VMEM scratch.
+
+Semantics: triangle.rs:72-94 (Möller–Trumbore, EPSILON determinant
+cutoff) with the closest-hit filter t >= 0; ties resolve to the lowest
+triangle index like the stable sort + first-hit rule (scene.rs:97-136).
+
+Inputs are padded: rays to BR multiples, triangles to C multiples with
+degenerate (zero-edge) triangles whose determinant fails the cutoff.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EPSILON
+
+BR = 512    # rays per program
+CHUNK = 512  # triangles per inner step
+
+_INF = float("inf")
+
+
+def _kernel(rox, roy, roz, rdx, rdy, rdz,
+            p1x, p1y, p1z, e1x, e1y, e1z, e2x, e2y, e2z,
+            t_ref, u_ref, v_ref, idx_ref):
+    T = p1x.shape[1]
+    n_chunks = T // CHUNK
+
+    ox = rox[0, :][:, None]
+    oy = roy[0, :][:, None]
+    oz = roz[0, :][:, None]
+    dx = rdx[0, :][:, None]
+    dy = rdy[0, :][:, None]
+    dz = rdz[0, :][:, None]
+
+    def body(c, carry):
+        bt, bu, bv, bi = carry
+        s = pl.ds(c * CHUNK, CHUNK)
+        te1x = e1x[0, s][None, :]
+        te1y = e1y[0, s][None, :]
+        te1z = e1z[0, s][None, :]
+        te2x = e2x[0, s][None, :]
+        te2y = e2y[0, s][None, :]
+        te2z = e2z[0, s][None, :]
+        tp1x = p1x[0, s][None, :]
+        tp1y = p1y[0, s][None, :]
+        tp1z = p1z[0, s][None, :]
+
+        cx = dy * te2z - dz * te2y
+        cy = dz * te2x - dx * te2z
+        cz = dx * te2y - dy * te2x
+        det = te1x * cx + te1y * cy + te1z * cz
+        ok = jnp.abs(det) >= EPSILON
+        f = 1.0 / jnp.where(ok, det, 1.0)
+        sx = ox - tp1x
+        sy = oy - tp1y
+        sz = oz - tp1z
+        uu = f * (sx * cx + sy * cy + sz * cz)
+        ok = ok & (uu >= 0.0) & (uu <= 1.0)
+        qx = sy * te1z - sz * te1y
+        qy = sz * te1x - sx * te1z
+        qz = sx * te1y - sy * te1x
+        vv = f * (dx * qx + dy * qy + dz * qz)
+        ok = ok & (vv >= 0.0) & (uu + vv <= 1.0)
+        tt = f * (te2x * qx + te2y * qy + te2z * qz)
+        ok = ok & (tt >= 0.0)
+        tt = jnp.where(ok, tt, _INF)
+
+        local = jnp.argmin(tt, axis=1).astype(jnp.int32)
+        ct = jnp.min(tt, axis=1)
+        take = lambda a: jnp.take_along_axis(a, local[:, None], axis=1)[:, 0]
+        better = ct < bt
+        return (jnp.where(better, ct, bt),
+                jnp.where(better, take(uu), bu),
+                jnp.where(better, take(vv), bv),
+                jnp.where(better, c * CHUNK + local, bi))
+
+    R = ox.shape[0]
+    init = (jnp.full((R,), _INF, jnp.float32),
+            jnp.zeros((R,), jnp.float32),
+            jnp.zeros((R,), jnp.float32),
+            jnp.zeros((R,), jnp.int32))
+    bt, bu, bv, bi = jax.lax.fori_loop(0, n_chunks, body, init)
+    t_ref[0, :] = bt
+    u_ref[0, :] = bu
+    v_ref[0, :] = bv
+    idx_ref[0, :] = bi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def closest_triangle(ro_comps, rd_comps, tri_comps, interpret: bool = False):
+    """Closest-hit over triangles.
+
+    ro_comps/rd_comps: 3-tuples of [R] f32; tri_comps: 9-tuple of [T] f32
+    (p1xyz, e1xyz, e2xyz). R and T must be multiples of BR and CHUNK
+    (pad rays arbitrarily, triangles with degenerate zero-edge entries).
+    Returns (t, u, v, tri_index) each [R]; misses carry t=+inf.
+    """
+    R = ro_comps[0].shape[0]
+    T = tri_comps[0].shape[0]
+    assert R % BR == 0 and T % CHUNK == 0, (R, T)
+
+    grid = (R // BR,)
+    ray_spec = pl.BlockSpec((1, BR), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((1, T), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, BR), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    args = [c.reshape(1, R) for c in (*ro_comps, *rd_comps)]
+    args += [c.reshape(1, T) for c in tri_comps]
+
+    outs = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[ray_spec] * 6 + [tri_spec] * 9,
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+        ),
+        interpret=interpret,
+    )(*args)
+    t, u, v, idx = (o.reshape(R) for o in outs)
+    return t, u, v, idx

@@ -256,9 +256,47 @@ def _tri_chunk_best(ro: V3, rd: V3, p1, e1, e2, pid, live, base):
     ok = ok & live[None, :] & (t >= 0.0)
     t = jnp.where(ok, t, _INF)
 
-    idx = jnp.argmin(t, axis=1)
+    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
     take = lambda a: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
-    return take(t), take(u), take(v), pid[idx], base + idx
+    return take(t), take(u), take(v), pid[idx], (base + idx).astype(jnp.int32)
+
+
+def _use_pallas(settings, dtype) -> bool:
+    mode = getattr(settings, "pallas", "off")
+    if mode == "on" or mode == "interpret":
+        return True
+    if mode == "auto":
+        return dtype == jnp.float32 and jax.default_backend() != "cpu"
+    return False
+
+
+def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings):
+    """Closest triangle hit via the fused Pallas kernel (t,u,v,prim,tri)."""
+    from ..kernels import triangles as ktri
+
+    T = scene.counts[6]
+    R = ro.x.shape[0]
+    interpret = getattr(settings, "pallas", "off") == "interpret"
+    padR = (-R) % ktri.BR
+    padT = (-T) % ktri.CHUNK
+
+    def padr(c):
+        return jnp.pad(c, (0, padR)) if padR else c
+
+    def padt(c):
+        return jnp.pad(c, (0, padT)) if padT else c
+
+    ro_c = (padr(ro.x), padr(ro.y), padr(ro.z))
+    rd_c = (padr(rd.x), padr(rd.y), padr(rd.z))
+    tri_c = tuple(padt(tbl[:, j])
+                  for tbl in (scene.tri_p1, scene.tri_e1, scene.tri_e2)
+                  for j in range(3))
+    t, u, v, idx = ktri.closest_triangle(ro_c, rd_c, tri_c,
+                                         interpret=interpret)
+    t, u, v, idx = t[:R], u[:R], v[:R], idx[:R]
+    idx = jnp.minimum(idx, T - 1)
+    prim = jnp.take(scene.tri_prim, idx)
+    return t, u, v, prim, idx
 
 
 def closest_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, settings) -> Hit:
@@ -285,7 +323,15 @@ def closest_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, settings) -> Hit:
             best_v = jnp.where(better, zero, best_v)
 
     T = scene.counts[6]
-    if T:
+    if T and _use_pallas(settings, dtype):
+        ct, cu, cv, cp, ctri = _pallas_triangle_best(scene, ro, rd, settings)
+        better = ct < best_t
+        best_t = jnp.where(better, ct, best_t)
+        best_prim = jnp.where(better, cp, best_prim)
+        best_u = jnp.where(better, cu, best_u)
+        best_v = jnp.where(better, cv, best_v)
+        best_tri = jnp.where(better, ctri, best_tri)
+    elif T:
         n_chunks, chunk, p1, e1, e2, pid, live = _tri_chunks(
             scene, min(settings.tri_chunk, max(T, 1)))
 
@@ -454,7 +500,10 @@ def any_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, distance, settings):
             hit = hit | (valid & (t >= 0.0) & (t < distance))
 
     T = scene.counts[6]
-    if T:
+    if T and _use_pallas(settings, ro.dtype):
+        ct, _, _, _, _ = _pallas_triangle_best(scene, ro, rd, settings)
+        hit = hit | (ct < distance)
+    elif T:
         n_chunks, chunk, p1, e1, e2, pid, live = _tri_chunks(
             scene, min(settings.tri_chunk, max(T, 1)))
 

@@ -228,34 +228,9 @@ def _tri_chunk_best(ro: V3, rd: V3, p1, e1, e2, pid, live, base):
     every intermediate is a lane-friendly [R,C] elementwise value feeding
     a single min-reduction, which XLA fuses into one pass.
     """
-    dx, dy, dz = rd.x[:, None], rd.y[:, None], rd.z[:, None]
-    ox, oy, oz = ro.x[:, None], ro.y[:, None], ro.z[:, None]
-    e1x, e1y, e1z = e1[0][None, :], e1[1][None, :], e1[2][None, :]
-    e2x, e2y, e2z = e2[0][None, :], e2[1][None, :], e2[2][None, :]
-    p1x, p1y, p1z = p1[0][None, :], p1[1][None, :], p1[2][None, :]
-
-    # dce2 = d x e2
-    cx = dy * e2z - dz * e2y
-    cy = dz * e2x - dx * e2z
-    cz = dx * e2y - dy * e2x
-    det = e1x * cx + e1y * cy + e1z * cz
-    ok = jnp.abs(det) >= EPSILON
-    f = 1.0 / jnp.where(ok, det, 1.0)
-    sx = ox - p1x
-    sy = oy - p1y
-    sz = oz - p1z
-    u = f * (sx * cx + sy * cy + sz * cz)
-    ok = ok & (u >= 0.0) & (u <= 1.0)
-    # q = s x e1
-    qx = sy * e1z - sz * e1y
-    qy = sz * e1x - sx * e1z
-    qz = sx * e1y - sy * e1x
-    v = f * (dx * qx + dy * qy + dz * qz)
-    ok = ok & (v >= 0.0) & (u + v <= 1.0)
-    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    t, u, v, ok = _tri_chunk_eval(ro, rd, p1, e1, e2)
     ok = ok & live[None, :] & (t >= 0.0)
     t = jnp.where(ok, t, _INF)
-
     idx = jnp.argmin(t, axis=1).astype(jnp.int32)
     take = lambda a: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
     return take(t), take(u), take(v), pid[idx], (base + idx).astype(jnp.int32)
@@ -372,17 +347,17 @@ def closest_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, settings) -> Hit:
 # ---------------------------------------------------------------------------
 
 def sorted_slots_soa(scene: sd.SceneData, ro: V3, rd: V3):
-    """All hit slots sorted ascending by t as [K, R] arrays (t, prim,
-    valid) — rays in the minor (lane) axis, slots in the major axis, so
-    lax.sort(dimension=0) is a per-ray K-element sort with full lane
-    utilization (the SoA replacement for scene.rs:97-106). lax.sort is
-    stable, preserving insertion order on ties like the reference's Vec
-    sort."""
+    """All analytic hit slots sorted ascending by t as [K, R] arrays
+    (t, prim, valid) — rays in the minor (lane) axis, slots in the major
+    axis, so lax.sort(dimension=0) is a per-ray K-element sort with full
+    lane utilization (the SoA replacement for scene.rs:97-106). lax.sort
+    is stable, preserving insertion order on ties like the reference's
+    Vec sort."""
     R = ro.x.shape
     ts, prims = [], []
     for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
                                           scene.prim_rows_static)):
-        assert kind != sd.TRIANGLE, "mesh scenes use the AoS sorted path"
+        assert kind != sd.TRIANGLE, "use sorted_slots_full_soa for meshes"
         for t, valid in _leaf_slots(scene, kind, row, ro, rd):
             ts.append(jnp.where(valid, t, _INF))
             prims.append(jnp.full(R, pid, jnp.int32))
@@ -394,11 +369,133 @@ def sorted_slots_soa(scene: sd.SceneData, ro: V3, rd: V3):
     return t, prim, jnp.isfinite(t)
 
 
+def sorted_slots_full_soa(scene: sd.SceneData, ro: V3, rd: V3, settings):
+    """Sorted slots incl. triangle meshes: [K, R] arrays
+    (t, prim, valid, u, v, tri).
+
+    Analytic leaves contribute their closed-form slots; triangles
+    contribute a per-ray top-K_tri prefix extracted chunk-by-chunk under
+    lax.scan (K_tri masked argmin extractions per chunk, merged into the
+    running prefix with one stable sort per chunk). K_tri bounds how many
+    triangle interfaces a refraction/CSG walk can cross before the hit —
+    settings.max_hits, matching the AoS path's top-K semantics.
+    """
+    R = ro.x.shape
+    dtype = ro.dtype
+    ts, prims = [], []
+    for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
+                                          scene.prim_rows_static)):
+        if kind == sd.TRIANGLE:
+            continue
+        for t, valid in _leaf_slots(scene, kind, row, ro, rd):
+            ts.append(jnp.where(valid, t, _INF))
+            prims.append(jnp.full(R, pid, jnp.int32))
+    Ka = len(ts)
+    t = jnp.stack(ts, axis=0) if Ka else jnp.zeros((0,) + R, dtype)
+    prim = (jnp.stack(prims, axis=0) if Ka
+            else jnp.zeros((0,) + R, jnp.int32))
+    zeros = jnp.zeros_like(t)
+    u = zeros
+    v = zeros
+    tri = jnp.zeros_like(prim)
+
+    T = scene.counts[6]
+    if T:
+        K_tri = min(settings.max_hits, T)
+        n_chunks, chunk, p1, e1, e2, pid_tbl, live = _tri_chunks(
+            scene, min(settings.tri_chunk, max(T, 1)))
+
+        def chunk_topk(cp1, ce1, ce2, cpid, clive, base):
+            # Full [R, C] MT evaluation, then K_tri masked extractions.
+            tt, uu, vv, ok = _tri_chunk_eval(ro, rd, cp1, ce1, ce2)
+            tt = jnp.where(ok & clive[None, :], tt, _INF)
+            outs = []
+            for _ in range(K_tri):
+                idx = jnp.argmin(tt, axis=1).astype(jnp.int32)
+                take = lambda a: jnp.take_along_axis(
+                    a, idx[:, None], axis=1)[:, 0]
+                outs.append((take(tt), take(uu), take(vv),
+                             cpid[idx], (base + idx).astype(jnp.int32)))
+                tt = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+                    == idx[:, None], _INF, tt)
+            stack = lambda i: jnp.stack([o[i] for o in outs], axis=0)
+            return stack(0), stack(1), stack(2), stack(3), stack(4)
+
+        if n_chunks == 1:
+            tri_t, tri_u, tri_v, tri_p, tri_i = chunk_topk(
+                tuple(c[0] for c in p1), tuple(c[0] for c in e1),
+                tuple(c[0] for c in e2), pid_tbl[0], live[0], 0)
+        else:
+            def body(carry, xs):
+                bt, bu, bv, bp, bi = carry
+                ci, cp1, ce1, ce2, cpid, clive = xs
+                ct, cu, cv, cp, cidx = chunk_topk(cp1, ce1, ce2, cpid,
+                                                  clive, ci * chunk)
+                mt = jnp.concatenate([bt, ct], axis=0)
+                mu_ = jnp.concatenate([bu, cu], axis=0)
+                mv = jnp.concatenate([bv, cv], axis=0)
+                mp = jnp.concatenate([bp, cp], axis=0)
+                mi = jnp.concatenate([bi, cidx], axis=0)
+                mt, mp, mu_, mv, mi = jax.lax.sort(
+                    (mt, mp, mu_, mv, mi), dimension=0, num_keys=1,
+                    is_stable=True)
+                return (mt[:K_tri], mu_[:K_tri], mv[:K_tri], mp[:K_tri],
+                        mi[:K_tri]), None
+
+            init = (jnp.full((K_tri,) + R, _INF, dtype),
+                    jnp.zeros((K_tri,) + R, dtype),
+                    jnp.zeros((K_tri,) + R, dtype),
+                    jnp.zeros((K_tri,) + R, jnp.int32),
+                    jnp.zeros((K_tri,) + R, jnp.int32))
+            xs = (jnp.arange(n_chunks), p1, e1, e2, pid_tbl, live)
+            (tri_t, tri_u, tri_v, tri_p, tri_i), _ = jax.lax.scan(
+                body, init, xs)
+
+        t = jnp.concatenate([t, tri_t], axis=0)
+        u = jnp.concatenate([u, tri_u], axis=0)
+        v = jnp.concatenate([v, tri_v], axis=0)
+        prim = jnp.concatenate([prim, tri_p], axis=0)
+        tri = jnp.concatenate([tri, tri_i], axis=0)
+
+    t, prim, u, v, tri = jax.lax.sort((t, prim, u, v, tri), dimension=0,
+                                      num_keys=1, is_stable=True)
+    return t, prim, jnp.isfinite(t), u, v, tri
+
+
+def _tri_chunk_eval(ro: V3, rd: V3, p1, e1, e2):
+    """Raw [R, C] Möller–Trumbore values (t, u, v, ok) for one chunk."""
+    dx, dy, dz = rd.x[:, None], rd.y[:, None], rd.z[:, None]
+    ox, oy, oz = ro.x[:, None], ro.y[:, None], ro.z[:, None]
+    e1x, e1y, e1z = e1[0][None, :], e1[1][None, :], e1[2][None, :]
+    e2x, e2y, e2z = e2[0][None, :], e2[1][None, :], e2[2][None, :]
+    p1x, p1y, p1z = p1[0][None, :], p1[1][None, :], p1[2][None, :]
+    cx = dy * e2z - dz * e2y
+    cy = dz * e2x - dx * e2z
+    cz = dx * e2y - dy * e2x
+    det = e1x * cx + e1y * cy + e1z * cz
+    ok = jnp.abs(det) >= EPSILON
+    f = 1.0 / jnp.where(ok, det, 1.0)
+    sx = ox - p1x
+    sy = oy - p1y
+    sz = oz - p1z
+    u = f * (sx * cx + sy * cy + sz * cz)
+    ok = ok & (u >= 0.0) & (u <= 1.0)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    ok = ok & (v >= 0.0) & (u + v <= 1.0)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    return t, u, v, ok
+
+
 def apply_csg_soa(scene: sd.SceneData, slots):
     """Replay filter_intersections (csg.rs:177-195) per CSG node over the
     sorted [K, R] slots, innermost first. Dropped slots keep their t (for
     ordering) but lose validity."""
-    t, prim, valid = slots
+    t, prim, valid = slots[:3]
+    extra = slots[3:]
     for ci, op in enumerate(scene.csg_ops):
         side_table = scene.csg_side[ci]
         side = jnp.where(valid, jnp.take(side_table, prim), 0)
@@ -423,17 +520,22 @@ def apply_csg_soa(scene: sd.SceneData, slots):
         init = (jnp.zeros(R, bool), jnp.zeros(R, bool))
         _, keep = jax.lax.scan(step, init, (side, valid))
         valid = valid & keep
-    return t, prim, valid
+    return (t, prim, valid) + tuple(extra)
 
 
 def select_hit_slots(slots):
     """First valid slot with t >= 0 (scene.rs:128-136). Returns
-    (found[R], t[R], prim[R], hit_slot_index[R])."""
-    t, prim, valid = slots
+    (found[R], t[R], prim[R], hit_slot_index[R]) for 3-tuple slots, plus
+    (u, v, tri) when the slots carry them (6-tuple form)."""
+    t, prim, valid = slots[:3]
     pos = valid & (t >= 0.0)
     found = jnp.any(pos, axis=0)
     idx = jnp.argmax(pos, axis=0)
     take = lambda a: jnp.take_along_axis(a, idx[None, :], axis=0)[0]
+    if len(slots) > 3:
+        u, v, tri = slots[3:6]
+        return (found, take(t), take(prim), idx,
+                take(u), take(v), take(tri))
     return found, take(t), take(prim), idx
 
 
@@ -443,7 +545,7 @@ def refractive_indices_soa(scene: sd.SceneData, slots, hit_idx, depth: int):
     The ordered container list lives as a [depth, R] id stack plus a size
     counter; membership toggles are masked shifts/writes inside one
     lax.scan over the K slot axis."""
-    t, prim_all, valid_all = slots
+    t, prim_all, valid_all = slots[:3]
     K = t.shape[0]
     R = t.shape[1:]
     dtype = t.dtype
@@ -484,9 +586,15 @@ def refractive_indices_soa(scene: sd.SceneData, slots, hit_idx, depth: int):
     return n1, n2
 
 
-def any_hit_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, distance):
+def any_hit_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, distance,
+                       settings=None):
     """Shadow test honoring CSG filtering (scene.rs:234-245)."""
-    t, prim, valid = apply_csg_soa(scene, sorted_slots_soa(scene, ro, rd))
+    if scene.counts[6] and settings is not None:
+        slots = sorted_slots_full_soa(scene, ro, rd, settings)
+    else:
+        slots = sorted_slots_soa(scene, ro, rd)
+    filtered = apply_csg_soa(scene, slots)
+    t, _, valid = filtered[:3]
     return jnp.any(valid & (t >= 0.0) & (t < distance[None, :]), axis=0)
 
 

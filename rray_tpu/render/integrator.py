@@ -41,7 +41,7 @@ from .camera import CameraData, all_rays, all_rays_soa
 
 def _shadow_test_soa(scene, over: V3, direction: V3, dist, settings):
     if scene.csg_ops:
-        return soa.any_hit_sorted_soa(scene, over, direction, dist)
+        return soa.any_hit_sorted_soa(scene, over, direction, dist, settings)
     return soa.any_hit_soa(scene, over, direction, dist, settings)
 
 
@@ -173,13 +173,22 @@ def _sorted_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
     """
     dtype = ro.dtype
     eps = offset_eps(dtype)
-    slots = soa.sorted_slots_soa(scene, ro, rd)
+    if scene.counts[6]:
+        slots = soa.sorted_slots_full_soa(scene, ro, rd, settings)
+    else:
+        slots = soa.sorted_slots_soa(scene, ro, rd)
     if scene.csg_ops:
         slots = soa.apply_csg_soa(scene, slots)
-    found, t, prim, hit_idx = soa.select_hit_slots(slots)
+    sel = soa.select_hit_slots(slots)
+    found, t, prim, hit_idx = sel[:4]
     zero = jnp.zeros_like(t)
-    hit = soa.Hit(found=found, t=t, prim=prim, u=zero, v=zero,
-                  tri=jnp.zeros_like(prim))
+    if len(sel) > 4:
+        hit_u, hit_v, hit_tri = sel[4:]
+        hit = soa.Hit(found=found, t=t, prim=prim, u=hit_u, v=hit_v,
+                      tri=hit_tri)
+    else:
+        hit = soa.Hit(found=found, t=t, prim=prim, u=zero, v=zero,
+                      tri=jnp.zeros_like(prim))
 
     t_safe = jnp.where(found, t, 0.0)
     point = ro + rd * t_safe
@@ -440,13 +449,10 @@ def needs_sorted_path(scene: sd.SceneData) -> bool:
 
 
 def _soa_node_fn(scene: sd.SceneData):
-    """Pick the SoA integrator node for this scene, or None when only the
-    AoS machinery can handle it (sorted path over triangle meshes)."""
+    """Pick the SoA integrator node for this scene."""
     if not needs_sorted_path(scene):
         return _color_at_soa
-    if scene.counts[6] == 0:
-        return _color_at_sorted_soa
-    return None
+    return _color_at_sorted_soa
 
 
 def color_at(scene: sd.SceneData, ro, rd, remaining: int,

@@ -88,6 +88,42 @@ class TestTeapot:
         np.testing.assert_allclose(imgs[1], imgs[2], atol=1e-12)
 
 
+@pytest.mark.skipif(not os.path.exists(TEAPOT), reason="no reference fixture")
+def test_transparent_mesh_sorted_soa_matches_aos():
+    """Glass teapot: the sorted SoA path with triangle top-K slots must
+    match the AoS sorted machinery (refraction containers + smooth
+    normals through meshes)."""
+    import jax
+
+    from rray_tpu.io.obj_loader import load_obj_file
+    from rray_tpu.ops.vec import V3
+    from rray_tpu.render import integrator as I
+    from rray_tpu.render.camera import all_rays
+
+    mesh = load_obj_file(TEAPOT, Material(
+        pattern=Pattern.solid([0.9, 0.9, 1.0]), transparency=0.8,
+        refractive_index=1.4, reflective=0.1, diffuse=0.2))
+    mesh.transform = mu.compose([mu.rotate_x(-np.pi / 2),
+                                 mu.scale(0.12, 0.12, 0.12)])
+    floor = Shape("plane", material=Material(
+        pattern=Pattern("checker", a=Pattern.solid([1.0, 1.0, 1.0]),
+                        b=Pattern.solid([0.2, 0.2, 0.2])), specular=0.0))
+    light = PointLight(np.array([-10.0, 10.0, -10.0]), np.ones(3))
+    scene = compile_scene([floor, mesh], [light], dtype=jnp.float64)
+    cam_h = Camera(24, 16, np.pi / 3)
+    cam_h.transform = mu.view_transform([0, 1.5, -4], [0, 0.7, 0], [0, 1, 0])
+    cam = compile_camera(cam_h, jnp.float64)
+    st = RenderSettings(rows_per_tile=16, max_hits=8, containers_depth=4,
+                        depth=3, tri_chunk=64)
+    ro, rd = all_rays(cam)
+    key = jax.random.PRNGKey(0)
+    a = np.asarray(I._color_at_sorted(scene, ro, rd, 3, st, key))
+    b = np.asarray(I._color_at_sorted_soa(
+        scene, V3(ro[:, 0], ro[:, 1], ro[:, 2]),
+        V3(rd[:, 0], rd[:, 1], rd[:, 2]), 3, st, key).to_array())
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
 AREA = "/root/reference/examples/area_light.yaml"
 
 

@@ -7,12 +7,19 @@ full triangle component tables (SoA, a few hundred KB for typical
 meshes) in VMEM and loops over lane-aligned chunks, folding the running
 per-ray minimum in registers/VMEM scratch.
 
+Chunk culling: triangles are Morton-ordered at scene compile
+(scene/data.py), so each 512-triangle chunk has a tight AABB; a chunk
+whose slab test (cube.rs:48-61 style) misses every ray in the block is
+skipped entirely — the TPU-side equivalent of the reference's per-group
+AABB gate (group.rs:80-91), but per ray-block x triangle-chunk.
+
 Semantics: triangle.rs:72-94 (Möller–Trumbore, EPSILON determinant
 cutoff) with the closest-hit filter t >= 0; ties resolve to the lowest
 triangle index like the stable sort + first-hit rule (scene.rs:97-136).
 
 Inputs are padded: rays to BR multiples, triangles to C multiples with
-degenerate (zero-edge) triangles whose determinant fails the cutoff.
+far-away degenerate triangles (p1 = 1e30, zero edges) so padding chunks
+cull away.
 """
 from __future__ import annotations
 
@@ -29,10 +36,12 @@ BR = 512    # rays per program
 CHUNK = 512  # triangles per inner step
 
 _INF = float("inf")
+_FAR = 1e30
 
 
 def _kernel(rox, roy, roz, rdx, rdy, rdz,
             p1x, p1y, p1z, e1x, e1y, e1z, e2x, e2y, e2z,
+            blox, bloy, bloz, bhix, bhiy, bhiz,
             t_ref, u_ref, v_ref, idx_ref):
     T = p1x.shape[1]
     n_chunks = T // CHUNK
@@ -44,7 +53,14 @@ def _kernel(rox, roy, roz, rdx, rdy, rdz,
     dy = rdy[0, :][:, None]
     dz = rdz[0, :][:, None]
 
-    def body(c, carry):
+    # Reciprocal directions for the AABB slab test (zero-safe).
+    def inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                               jnp.where(d < 0, -1e-30, 1e-30), d)
+
+    ix, iy, iz = inv(dx[:, 0]), inv(dy[:, 0]), inv(dz[:, 0])
+
+    def mt_body(c, carry):
         bt, bu, bv, bi = carry
         s = pl.ds(c * CHUNK, CHUNK)
         te1x = e1x[0, s][None, :]
@@ -86,6 +102,31 @@ def _kernel(rox, roy, roz, rdx, rdy, rdz,
                 jnp.where(better, take(vv), bv),
                 jnp.where(better, c * CHUNK + local, bi))
 
+    def body(c, carry):
+        # Block-level cull: does any ray in this block enter chunk c's box
+        # before the block's current worst best-t?
+        lox, loy, loz = blox[0, c], bloy[0, c], bloz[0, c]
+        hix, hiy, hiz = bhix[0, c], bhiy[0, c], bhiz[0, c]
+        rx0 = ox[:, 0]
+        ry0 = oy[:, 0]
+        rz0 = oz[:, 0]
+        tx1 = (lox - rx0) * ix
+        tx2 = (hix - rx0) * ix
+        ty1 = (loy - ry0) * iy
+        ty2 = (hiy - ry0) * iy
+        tz1 = (loz - rz0) * iz
+        tz2 = (hiz - rz0) * iz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                       jnp.minimum(ty1, ty2)),
+                           jnp.minimum(tz1, tz2))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                       jnp.maximum(ty1, ty2)),
+                           jnp.maximum(tz1, tz2))
+        enter = (tmin <= tmax) & (tmax >= 0.0) & (tmin < carry[0])
+        hit_any = jnp.any(enter)
+        return jax.lax.cond(hit_any, lambda cc: mt_body(c, cc),
+                            lambda cc: cc, carry)
+
     R = ox.shape[0]
     init = (jnp.full((R,), _INF, jnp.float32),
             jnp.zeros((R,), jnp.float32),
@@ -103,29 +144,45 @@ def closest_triangle(ro_comps, rd_comps, tri_comps, interpret: bool = False):
     """Closest-hit over triangles.
 
     ro_comps/rd_comps: 3-tuples of [R] f32; tri_comps: 9-tuple of [T] f32
-    (p1xyz, e1xyz, e2xyz). R and T must be multiples of BR and CHUNK
-    (pad rays arbitrarily, triangles with degenerate zero-edge entries).
-    Returns (t, u, v, tri_index) each [R]; misses carry t=+inf.
+    (p1xyz, e1xyz, e2xyz). R and T must be multiples of BR and CHUNK (pad
+    rays arbitrarily, triangles with _FAR p1 / zero edges). Returns
+    (t, u, v, tri_index) each [R]; misses carry t=+inf.
     """
     R = ro_comps[0].shape[0]
     T = tri_comps[0].shape[0]
     assert R % BR == 0 and T % CHUNK == 0, (R, T)
+    n_chunks = T // CHUNK
+
+    # Per-chunk AABBs over the three vertices (p1, p1+e1, p1+e2).
+    boxes = []
+    for j in range(3):
+        p1 = tri_comps[j].reshape(n_chunks, CHUNK)
+        v2 = p1 + tri_comps[3 + j].reshape(n_chunks, CHUNK)
+        v3 = p1 + tri_comps[6 + j].reshape(n_chunks, CHUNK)
+        lo = jnp.minimum(jnp.minimum(p1.min(1), v2.min(1)), v3.min(1))
+        hi = jnp.maximum(jnp.maximum(p1.max(1), v2.max(1)), v3.max(1))
+        boxes.append((lo, hi))
+    aabb = [boxes[0][0], boxes[1][0], boxes[2][0],
+            boxes[0][1], boxes[1][1], boxes[2][1]]
 
     grid = (R // BR,)
     ray_spec = pl.BlockSpec((1, BR), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec((1, T), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
+    box_spec = pl.BlockSpec((1, n_chunks), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, BR), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     args = [c.reshape(1, R) for c in (*ro_comps, *rd_comps)]
     args += [c.reshape(1, T) for c in tri_comps]
+    args += [c.reshape(1, n_chunks) for c in aabb]
 
     outs = pl.pallas_call(
         _kernel,
         grid=grid,
-        in_specs=[ray_spec] * 6 + [tri_spec] * 9,
+        in_specs=[ray_spec] * 6 + [tri_spec] * 9 + [box_spec] * 6,
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         out_shape=(
             jax.ShapeDtypeStruct((1, R), jnp.float32),

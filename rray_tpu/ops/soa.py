@@ -258,13 +258,15 @@ def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings):
     def padr(c):
         return jnp.pad(c, (0, padR)) if padR else c
 
-    def padt(c):
-        return jnp.pad(c, (0, padT)) if padT else c
+    def padt(c, fill=0.0):
+        return jnp.pad(c, (0, padT), constant_values=fill) if padT else c
 
     ro_c = (padr(ro.x), padr(ro.y), padr(ro.z))
     rd_c = (padr(rd.x), padr(rd.y), padr(rd.z))
-    tri_c = tuple(padt(tbl[:, j])
-                  for tbl in (scene.tri_p1, scene.tri_e1, scene.tri_e2)
+    # Pad p1 far away (zero edges) so padded chunks cull cleanly.
+    tri_c = tuple(padt(tbl[:, j], fill=(ktri._FAR if k == 0 else 0.0))
+                  for k, tbl in enumerate((scene.tri_p1, scene.tri_e1,
+                                           scene.tri_e2))
                   for j in range(3))
     t, u, v, idx = ktri.closest_triangle(ro_c, rd_c, tri_c,
                                          interpret=interpret)

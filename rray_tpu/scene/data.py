@@ -351,6 +351,37 @@ def _walk(shape: Shape, parent_world: np.ndarray, leaves, csgs, depth):
     return [leaf], [leaf]
 
 
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Spread 10-bit ints so bits land every 3 positions (Morton)."""
+    v = v.astype(np.uint64)
+    v = (v | (v << 16)) & np.uint64(0x030000FF)
+    v = (v | (v << 8)) & np.uint64(0x0300F00F)
+    v = (v | (v << 4)) & np.uint64(0x030C30C3)
+    v = (v | (v << 2)) & np.uint64(0x09249249)
+    return v
+
+
+def _morton_sort(tri_leaves):
+    """Order triangle leaves along a Morton curve of world centroids."""
+    if len(tri_leaves) < 2:
+        return tri_leaves
+    cents = []
+    for leaf in tri_leaves:
+        s = leaf.shape
+        A = leaf.world[:3, :3]
+        b = leaf.world[:3, 3]
+        pts = [A @ np.asarray(p) + b for p in (s.p1, s.p2, s.p3)]
+        cents.append(np.mean(pts, axis=0))
+    cents = np.asarray(cents)
+    lo = cents.min(axis=0)
+    span = np.maximum(cents.max(axis=0) - lo, 1e-12)
+    q = np.clip(((cents - lo) / span * 1023.0), 0, 1023).astype(np.uint32)
+    code = (_spread_bits(q[:, 0]) | (_spread_bits(q[:, 1]) << np.uint64(1))
+            | (_spread_bits(q[:, 2]) << np.uint64(2)))
+    order = np.argsort(code, kind="stable")
+    return [tri_leaves[i] for i in order]
+
+
 def _compile_pattern(p: Pattern, dtype) -> PatternData:
     inv = jnp.asarray(mu.affine(mu.inverse(p.transform)), dtype)
     color = jnp.asarray(p.color if p.color is not None else np.zeros(3), dtype)
@@ -462,6 +493,12 @@ def compile_scene(objects, lights, dtype=None) -> SceneData:
     # Triangles: fold transforms into world-space vertices. t/u/v are
     # invariant; vertex normals ride the inverse-transpose unnormalized so
     # the smooth interpolation (smooth_triangle.rs:99-101) stays exact.
+    # Leaves are Morton-ordered by world centroid so chunk AABBs (the
+    # TPU-side replacement for the reference's per-group AABB gate,
+    # group.rs:80-91) stay tight.
+    by_type[TRIANGLE] = _morton_sort(by_type[TRIANGLE])
+    for row, leaf in enumerate(by_type[TRIANGLE]):
+        prim_row[leaf.prim_id] = row
     tris = by_type[TRIANGLE]
     T = len(tris)
     tp1 = np.zeros((T, 3))

@@ -61,3 +61,7 @@ class RenderSettings:
     # Pallas triangle kernel: "auto" (TPU + float32), "on", "off", or
     # "interpret" (debugging on CPU).
     pallas: str = "auto"
+    # Whitted wavefront implementation: "scan" (one node body in the
+    # graph; default) or "unrolled" (one body per depth level — exact
+    # tree work but a graph the remote TPU compiler may not survive).
+    wavefront: str = "scan"

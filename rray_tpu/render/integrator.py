@@ -252,8 +252,81 @@ def _concat_v3(a: V3, b: V3) -> V3:
               jnp.concatenate([a.z, b.z]))
 
 
-def _color_at_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
-                         settings: RenderSettings, key) -> V3:
+def _color_at_sorted_scan(scene: sd.SceneData, ro: V3, rd: V3,
+                          remaining: int, settings: RenderSettings,
+                          key) -> V3:
+    """Whitted wavefront as ONE lax.scan over depth levels.
+
+    The level-unrolled variant compiles depth+1 copies of the node graph
+    (~10k HLO ops for glass scenes), which the remote TPU compile service
+    cannot survive. Here the node body compiles once: ray state lives in
+    fixed-width [W*R] component arrays (W = 2^depth when both reflection
+    and refraction spawn, else 1) with heap-ordered children (parent row
+    i -> rows 2i, 2i+1) and zero path weights marking dead rays. Work is
+    W*(depth+1) ray-evaluations vs the tree's 2^(depth+1)-1 — a ~3x
+    overhead in the both-spawn case, traded for a ~6x smaller graph.
+    """
+    spawn_refl = scene.has_reflective
+    spawn_refr = scene.has_transparent
+    both = spawn_refl and spawn_refr
+    W = 2 ** remaining if both else 1
+    R = ro.x.shape[0]
+    dtype = ro.dtype
+
+    def expand(c, fill):
+        if W == 1:
+            return c
+        return jnp.concatenate([c, jnp.full(((W - 1) * R,), fill, dtype)])
+
+    origins = V3(expand(ro.x, 0.0), expand(ro.y, 0.0), expand(ro.z, 0.0))
+    dirs = V3(expand(rd.x, 0.0), expand(rd.y, 0.0), expand(rd.z, 1.0))
+    weights = expand(jnp.ones(R, dtype), 0.0)
+    acc0 = V3(jnp.zeros(R, dtype), jnp.zeros(R, dtype), jnp.zeros(R, dtype))
+
+    def interleave(a, b):
+        # Children of the first W//2 parent rows, heap order.
+        A = a.reshape(W, R)[: W // 2]
+        B = b.reshape(W, R)[: W // 2]
+        return jnp.stack([A, B], axis=1).reshape(W * R)
+
+    def inter_v3(a: V3, b: V3) -> V3:
+        return V3(interleave(a.x, b.x), interleave(a.y, b.y),
+                  interleave(a.z, b.z))
+
+    def body(carry, level):
+        origins, dirs, weights, acc = carry
+        lk = jax.random.fold_in(key, level)
+        surface, over, under, reflectv, refr_dir, refl_w, refr_w = \
+            _sorted_node_eval(scene, origins, dirs, settings, lk)
+        contrib = surface * weights
+        acc = acc + V3(contrib.x.reshape(W, R).sum(0),
+                       contrib.y.reshape(W, R).sum(0),
+                       contrib.z.reshape(W, R).sum(0))
+        if both:
+            origins = inter_v3(over, under)
+            dirs = inter_v3(reflectv, refr_dir)
+            weights = interleave(weights * refl_w, weights * refr_w)
+        elif spawn_refl:
+            origins, dirs = over, reflectv
+            weights = weights * refl_w
+        else:
+            origins, dirs = under, refr_dir
+            weights = weights * refr_w
+        return (origins, dirs, weights, acc), None
+
+    if not (spawn_refl or spawn_refr):
+        surface, *_ = _sorted_node_eval(scene, origins, dirs, settings,
+                                        jax.random.fold_in(key, 0))
+        return surface
+
+    (_, _, _, acc), _ = jax.lax.scan(
+        body, (origins, dirs, weights, acc0), jnp.arange(remaining + 1))
+    return acc
+
+
+def _color_at_sorted_unrolled(scene: sd.SceneData, ro: V3, rd: V3,
+                              remaining: int, settings: RenderSettings,
+                              key) -> V3:
     """Level-synchronous wavefront over the Whitted ray tree.
 
     Instead of unrolling the 2^(d+1)-1-node recursion (63 copies of the
@@ -453,6 +526,19 @@ def _soa_node_fn(scene: sd.SceneData):
     if not needs_sorted_path(scene):
         return _color_at_soa
     return _color_at_sorted_soa
+
+
+def _color_at_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
+                         settings: RenderSettings, key) -> V3:
+    """Sorted-path dispatcher: scan-based wavefront by default (one node
+    body in the graph — the remote TPU compiler chokes on the unrolled
+    multi-level graphs), level-unrolled when requested (exact tree work,
+    used for CPU parity A/B)."""
+    impl = getattr(settings, "wavefront", "scan")
+    if impl == "unrolled":
+        return _color_at_sorted_unrolled(scene, ro, rd, remaining, settings,
+                                         key)
+    return _color_at_sorted_scan(scene, ro, rd, remaining, settings, key)
 
 
 def color_at(scene: sd.SceneData, ro, rd, remaining: int,

@@ -17,4 +17,15 @@ __all__ = [
     "AreaLight", "Material", "Pattern", "PointLight", "Shape",
     "compile_scene", "glass_material",
     "Camera", "compile_camera", "color_at", "render",
+    "render_scene_from_file", "render_scene_from_str",
 ]
+
+
+def __getattr__(name):
+    # Lazy: the api module pulls in IO deps (PIL/yaml) not needed for
+    # pure compute use.
+    if name in ("render_scene_from_file", "render_scene_from_str"):
+        from . import api
+
+        return getattr(api, name)
+    raise AttributeError(name)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..config import EPSILON
 from ..scene import data as sd
 from . import quartic
-from .vec import V3, affine_point, affine_vector
+from .vec import V3, affine_point, affine_vector, take_rows
 
 _INF = jnp.inf
 
@@ -495,16 +495,23 @@ def _tri_chunk_eval(ro: V3, rd: V3, p1, e1, e2):
 def apply_csg_soa(scene: sd.SceneData, slots):
     """Replay filter_intersections (csg.rs:177-195) per CSG node over the
     sorted [K, R] slots, innermost first. Dropped slots keep their t (for
-    ordering) but lose validity."""
+    ordering) but lose validity.
+
+    The reference's sequential in-left/in-right toggling is a parity of
+    hit counts BEFORE each slot, so the whole filter evaluates as two
+    exclusive prefix sums over the slot axis — fully parallel, no scan.
+    """
     t, prim, valid = slots[:3]
     extra = slots[3:]
+    K = t.shape[0]
+    R = t.shape[1:]
     for ci, op in enumerate(scene.csg_ops):
         side_table = scene.csg_side[ci]
-        side = jnp.where(valid, jnp.take(side_table, prim), 0)
-
-        def step(carry, xs):
-            inl, inr = carry
-            s, v = xs
+        inl = jnp.zeros(R, bool)
+        inr = jnp.zeros(R, bool)
+        keeps = []
+        for k in range(K):
+            s = jnp.where(valid[k], take_rows(side_table, prim[k]), 0)
             lhit = s == 1
             under = s > 0
             if op == sd.CSG_UNION:
@@ -513,79 +520,88 @@ def apply_csg_soa(scene: sd.SceneData, slots):
                 allowed = (lhit & inr) | (~lhit & inl)
             else:
                 allowed = (lhit & ~inr) | (~lhit & inl)
-            keep = ~under | allowed
-            inl = inl ^ (s == 1)
+            keeps.append(valid[k] & (~under | allowed))
+            inl = inl ^ lhit
             inr = inr ^ (s == 2)
-            return (inl, inr), keep
-
-        R = t.shape[1:]
-        init = (jnp.zeros(R, bool), jnp.zeros(R, bool))
-        _, keep = jax.lax.scan(step, init, (side, valid))
-        valid = valid & keep
+        valid = jnp.stack(keeps, axis=0)
     return (t, prim, valid) + tuple(extra)
 
 
 def select_hit_slots(slots):
     """First valid slot with t >= 0 (scene.rs:128-136). Returns
     (found[R], t[R], prim[R], hit_slot_index[R]) for 3-tuple slots, plus
-    (u, v, tri) when the slots carry them (6-tuple form)."""
+    (u, v, tri) when the slots carry them (6-tuple form).
+
+    Static K-loop of elementwise selects — axis-0 argmax/gather over
+    [K, R] runs ~40x slower on TPU than K fused [R] passes."""
     t, prim, valid = slots[:3]
-    pos = valid & (t >= 0.0)
-    found = jnp.any(pos, axis=0)
-    idx = jnp.argmax(pos, axis=0)
-    take = lambda a: jnp.take_along_axis(a, idx[None, :], axis=0)[0]
-    if len(slots) > 3:
-        u, v, tri = slots[3:6]
-        return (found, take(t), take(prim), idx,
-                take(u), take(v), take(tri))
-    return found, take(t), take(prim), idx
+    K = t.shape[0]
+    R = t.shape[1:]
+    found = jnp.zeros(R, bool)
+    t_out = jnp.zeros(R, t.dtype)
+    prim_out = jnp.zeros(R, jnp.int32)
+    idx_out = jnp.zeros(R, jnp.int32)
+    extras = [jnp.zeros(R, a.dtype) for a in slots[3:6]]
+    for k in range(K):
+        take = ~found & valid[k] & (t[k] >= 0.0)
+        t_out = jnp.where(take, t[k], t_out)
+        prim_out = jnp.where(take, prim[k], prim_out)
+        idx_out = jnp.where(take, k, idx_out)
+        for i, a in enumerate(slots[3:6]):
+            extras[i] = jnp.where(take, a[k], extras[i])
+        found = found | take
+    if extras:
+        return (found, t_out, prim_out, idx_out) + tuple(extras)
+    return found, t_out, prim_out, idx_out
 
 
-def refractive_indices_soa(scene: sd.SceneData, slots, hit_idx, depth: int):
-    """n1/n2 containers walk (intersection.rs:61-92) over [K, R] slots.
+def refractive_indices_soa(scene: sd.SceneData, slots, hit_idx, depth=None):
+    """n1/n2 containers walk (intersection.rs:61-92), fully parallel.
 
-    The ordered container list lives as a [depth, R] id stack plus a size
-    counter; membership toggles are masked shifts/writes inside one
-    lax.scan over the K slot axis."""
-    t, prim_all, valid_all = slots[:3]
+    The reference maintains an ordered container list (append on enter,
+    remove on exit) and reads its last element. Equivalently: the
+    innermost container within a slot prefix is the latest slot that (a)
+    ENTERS its primitive (an even number of same-primitive occurrences
+    precede it) and (b) has no later same-primitive occurrence inside the
+    prefix. Both conditions are masked reductions over pairwise
+    same-primitive [K, K, R] masks — no sequential scan, and exact for
+    any nesting depth (the scan version needed a `depth` cap, retained in
+    the signature for compatibility)."""
+    t, prim, valid = slots[:3]
     K = t.shape[0]
     R = t.shape[1:]
     dtype = t.dtype
-    lane = jnp.arange(depth)[:, None]
 
-    def top_ior(ids, size):
-        last = jnp.take_along_axis(
-            ids, jnp.maximum(size - 1, 0)[None, :], axis=0)[0]
-        ior = jnp.take(scene.mat_ior, jnp.maximum(last, 0))
-        return jnp.where(size == 0, jnp.asarray(1.0, dtype), ior)
+    def same(a, b):
+        return (prim[a] == prim[b]) & valid[a] & valid[b]
 
-    def step(carry, xs):
-        ids, size, n1, n2 = carry
-        k, prim, valid = xs
-        is_hit = hit_idx == k
-        n1 = jnp.where(is_hit & valid, top_ior(ids, size), n1)
+    # enter[k]: even count of same-prim slots before k.
+    enter = []
+    for k in range(K):
+        cnt = jnp.zeros(R, jnp.int32)
+        for j in range(k):
+            cnt = cnt + same(j, k).astype(jnp.int32)
+        enter.append((cnt % 2) == 0)
 
-        occupied = lane < size[None, :]
-        eq = (ids == prim[None, :]) & occupied
-        present = jnp.any(eq, axis=0)
-        pos = jnp.argmax(eq, axis=0)
-        shifted = jnp.concatenate(
-            [ids[1:], jnp.full((1,) + R, -1, ids.dtype)], axis=0)
-        removed = jnp.where(lane >= pos[None, :], shifted, ids)
-        pushed = jnp.where(lane == size[None, :], prim[None, :], ids)
-        new_ids = jnp.where(present[None, :], removed, pushed)
-        new_size = jnp.where(present, size - 1, jnp.minimum(size + 1, depth))
-        ids = jnp.where(valid[None, :], new_ids, ids)
-        size = jnp.where(valid, new_size, size)
+    def innermost_ior(strict: bool):
+        """IOR of the innermost open container among slots before (or
+        through, when strict=False) the hit slot."""
+        have = jnp.zeros(R, bool)
+        best_prim = jnp.zeros(R, jnp.int32)
+        for k in range(K):
+            prefix_k = (k < hit_idx) if strict else (k <= hit_idx)
+            later = jnp.zeros(R, bool)
+            for j in range(k + 1, K):
+                prefix_j = (j < hit_idx) if strict else (j <= hit_idx)
+                later = later | (same(k, j) & prefix_j)
+            open_k = valid[k] & prefix_k & enter[k] & ~later
+            # Ascending k: the last write wins = innermost (latest enter).
+            best_prim = jnp.where(open_k, prim[k], best_prim)
+            have = have | open_k
+        ior = take_rows(scene.mat_ior, best_prim)
+        return jnp.where(have, ior, jnp.asarray(1.0, dtype))
 
-        n2 = jnp.where(is_hit & valid, top_ior(ids, size), n2)
-        return (ids, size, n1, n2), None
-
-    init = (jnp.full((depth,) + R, -1, jnp.int32), jnp.zeros(R, jnp.int32),
-            jnp.ones(R, dtype), jnp.ones(R, dtype))
-    (_, _, n1, n2), _ = jax.lax.scan(
-        step, init, (jnp.arange(K), prim_all, valid_all))
-    return n1, n2
+    return innermost_ior(True), innermost_ior(False)
 
 
 def any_hit_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, distance,

@@ -109,6 +109,22 @@ def affine_vector(m, v: V3) -> V3:
               m[2, 0] * v.x + m[2, 1] * v.y + m[2, 2] * v.z)
 
 
+_SELECT_CHAIN_MAX = 32
+
+
+def take_rows(table, idx):
+    """Row lookup by [R] indices. TPU dynamic gathers serialize per
+    element; for small tables a where-select chain over broadcast rows is
+    vastly faster, so use it up to _SELECT_CHAIN_MAX rows."""
+    n = table.shape[0]
+    if 0 < n <= _SELECT_CHAIN_MAX and table.ndim == 1:
+        out = jnp.broadcast_to(table[0], idx.shape)
+        for i in range(1, n):
+            out = jnp.where(idx == i, table[i], out)
+        return out
+    return jnp.take(table, idx, axis=0)
+
+
 def matmul3(m, v: V3) -> V3:
     """Apply a [3,3] matrix (normal matrices)."""
     return V3(m[0, 0] * v.x + m[0, 1] * v.y + m[0, 2] * v.z,

@@ -84,7 +84,8 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
 def _lighting_soa(scene, hit, base: V3, light, point: V3, eyev: V3,
                   normalv: V3, shadow_frac):
     """Phong (light.rs:98-140)."""
-    take = lambda t: jnp.take(t, hit.prim, axis=0)
+    from ..ops.vec import take_rows
+    take = lambda t: take_rows(t, hit.prim)
     li = light.intensity
     effective = V3(base.x * li[0], base.y * li[1], base.z * li[2])
     lightv = V3(light.position[0] - point.x, light.position[1] - point.y,
@@ -141,7 +142,8 @@ def _color_at_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
         reflectv = rd.reflect(normalv)
         rc = _color_at_soa(scene, over, reflectv, remaining - 1, settings,
                            jax.random.fold_in(key, 1))
-        refl = jnp.take(scene.mat_reflective, hit.prim, axis=0)
+        from ..ops.vec import take_rows
+        refl = take_rows(scene.mat_reflective, hit.prim)
         color = color + rc * refl
 
     return V3(jnp.where(found, color.x, 0.0), jnp.where(found, color.y, 0.0),
@@ -219,7 +221,8 @@ def _sorted_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
                  jnp.where(found, surface.y, 0.0),
                  jnp.where(found, surface.z, 0.0))
 
-    take = lambda tb: jnp.take(tb, prim, axis=0)
+    from ..ops.vec import take_rows
+    take = lambda tb: take_rows(tb, prim)
     reflective = jnp.where(found, take(scene.mat_reflective), 0.0)
     transparency = jnp.where(found, take(scene.mat_transparency), 0.0)
 
@@ -545,8 +548,6 @@ def color_at(scene: sd.SceneData, ro, rd, remaining: int,
              settings: RenderSettings, key):
     """Color seen along rays; accepts [R,3] arrays (public API)."""
     node = _soa_node_fn(scene)
-    if node is None:
-        return _color_at_sorted(scene, ro, rd, remaining, settings, key)
     out = node(scene, V3(ro[:, 0], ro[:, 1], ro[:, 2]),
                V3(rd[:, 0], rd[:, 1], rd[:, 2]), remaining, settings, key)
     return out.to_array()
@@ -580,51 +581,30 @@ def render(scene: sd.SceneData, cam: CameraData,
     R = cam.hsize * cam.vsize
     tile = _tile_rays(scene, cam, settings)
     node = _soa_node_fn(scene)
-    if node is not None:
-        ro, rd = all_rays_soa(cam)
-        pad = (-R) % tile
-        if pad:
-            padc = lambda c, f: jnp.concatenate(
-                [c, jnp.full((pad,), f, c.dtype)], 0)
-            ro = V3(padc(ro.x, 0.0), padc(ro.y, 0.0), padc(ro.z, 0.0))
-            rd = V3(padc(rd.x, 0.0), padc(rd.y, 0.0), padc(rd.z, 1.0))
-        n_tiles = (R + pad) // tile
-        resh = lambda v: V3(v.x.reshape(n_tiles, tile),
-                            v.y.reshape(n_tiles, tile),
-                            v.z.reshape(n_tiles, tile))
-        ro_t, rd_t = resh(ro), resh(rd)
-
-        def tile_fn(args):
-            o, d = args
-            return node(scene, o, d, settings.depth, settings, key)
-
-        if n_tiles == 1:
-            out = tile_fn((V3(ro_t.x[0], ro_t.y[0], ro_t.z[0]),
-                           V3(rd_t.x[0], rd_t.y[0], rd_t.z[0])))
-            colors = out.to_array()[:R]
-        else:
-            out = jax.lax.map(tile_fn, (ro_t, rd_t))
-            colors = out.to_array().reshape(-1, 3)[:R]
-        return colors.reshape(cam.vsize, cam.hsize, 3)
-
-    ro, rd = all_rays(cam)
+    ro, rd = all_rays_soa(cam)
     pad = (-R) % tile
     if pad:
-        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)], 0)
-        rd = jnp.concatenate([rd, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], rd.dtype),
-                                           (pad, 1))], 0)
+        padc = lambda c, f: jnp.concatenate(
+            [c, jnp.full((pad,), f, c.dtype)], 0)
+        ro = V3(padc(ro.x, 0.0), padc(ro.y, 0.0), padc(ro.z, 0.0))
+        rd = V3(padc(rd.x, 0.0), padc(rd.y, 0.0), padc(rd.z, 1.0))
     n_tiles = (R + pad) // tile
-    ro_t = ro.reshape(n_tiles, tile, 3)
-    rd_t = rd.reshape(n_tiles, tile, 3)
+    resh = lambda v: V3(v.x.reshape(n_tiles, tile),
+                        v.y.reshape(n_tiles, tile),
+                        v.z.reshape(n_tiles, tile))
+    ro_t, rd_t = resh(ro), resh(rd)
 
     def tile_fn(args):
         o, d = args
-        return _color_at_sorted(scene, o, d, settings.depth, settings, key)
+        return node(scene, o, d, settings.depth, settings, key)
 
     if n_tiles == 1:
-        colors = tile_fn((ro_t[0], rd_t[0]))[:R]
+        out = tile_fn((V3(ro_t.x[0], ro_t.y[0], ro_t.z[0]),
+                       V3(rd_t.x[0], rd_t.y[0], rd_t.z[0])))
+        colors = out.to_array()[:R]
     else:
-        colors = jax.lax.map(tile_fn, (ro_t, rd_t)).reshape(-1, 3)[:R]
+        out = jax.lax.map(tile_fn, (ro_t, rd_t))
+        colors = out.to_array().reshape(-1, 3)[:R]
     return colors.reshape(cam.vsize, cam.hsize, 3)
 
 

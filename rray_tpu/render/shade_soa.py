@@ -23,8 +23,7 @@ from ..ops.vec import V3
 from ..scene import data as sd
 
 
-def _take(table, idx):
-    return jnp.take(table, idx, axis=0)
+from ..ops.vec import take_rows as _take
 
 
 def _present_types(scene):

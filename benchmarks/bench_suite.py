@@ -15,17 +15,16 @@ BASE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, BASE)
 
 
-def bench_scene(name, scene, cam, settings, n=201):
+def bench_scene(name, scene, cam, settings, n=None):
     import jax.numpy as jnp
     from rray_tpu.render.integrator import render
-    from rray_tpu.utils.timing import device_seconds_per_call, repeat_with_jitter
+    from rray_tpu.utils.timing import measure_frame_seconds
 
     def render_scalar(jitter):
         c = dataclasses.replace(cam, half_width=cam.half_width + jitter * 1e-9)
         return render(scene, c, settings=settings).sum()
 
-    sec = device_seconds_per_call(
-        lambda k: repeat_with_jitter(render_scalar, k), n=n)
+    sec = measure_frame_seconds(render_scalar)
     rays = cam.hsize * cam.vsize
     print(json.dumps({"metric": f"{name}_rays_per_s", "value": rays / sec,
                       "unit": "rays/s", "frame_s": sec,
@@ -58,14 +57,14 @@ def main(which):
     if "2" in which:  # glass, 5-bounce wavefront
         scene, cam = load(os.path.join(ex, "glass.yaml"), 800, 600, f32)
         bench_scene("config2_glass", scene, cam,
-                    RenderSettings(rows_per_tile=25, max_hits=16,
-                                   containers_depth=4), n=21)
+                    RenderSettings(rows_per_tile=75, max_hits=16,
+                                   containers_depth=4))
     if "3" in which:  # area light soft shadows + AA3
         scene, cam = load(os.path.join(ex, "area_light.yaml"), 800 * 3,
                           600 * 3, f32)
         bench_scene("config3_area", scene, cam,
                     RenderSettings(rows_per_tile=150, max_hits=4,
-                                   containers_depth=2), n=21)
+                                   containers_depth=2))
     if "4" in which:  # triangle mesh
         from bench_mesh import uv_sphere_obj
         from rray_tpu import (Camera, Material, Pattern, PointLight, Shape,
@@ -93,13 +92,13 @@ def main(which):
         cam = compile_camera(cam_h, f32)
         bench_scene("config4_mesh", scene, cam,
                     RenderSettings(rows_per_tile=75, max_hits=4,
-                                   containers_depth=2), n=21)
+                                   containers_depth=2))
     if "5" in which:  # CSG + torus + group + texture, 1920x1080
         scene, cam = load(os.path.join(ex, "csg_showcase.yaml"), 1920, 1080,
                           f32)
         bench_scene("config5_csg", scene, cam,
                     RenderSettings(rows_per_tile=54, max_hits=24,
-                                   containers_depth=4), n=21)
+                                   containers_depth=4))
 
 
 if __name__ == "__main__":

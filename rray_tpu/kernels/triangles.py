@@ -95,7 +95,10 @@ def _kernel(rox, roy, roz, rdx, rdy, rdz,
 
         local = jnp.argmin(tt, axis=1).astype(jnp.int32)
         ct = jnp.min(tt, axis=1)
-        take = lambda a: jnp.take_along_axis(a, local[:, None], axis=1)[:, 0]
+        # One-hot select: Mosaic can't lower gathers inside the kernel.
+        col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+        onehot = col == local[:, None]
+        take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=1)
         better = ct < bt
         return (jnp.where(better, ct, bt),
                 jnp.where(better, take(uu), bu),

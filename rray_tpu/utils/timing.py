@@ -30,6 +30,29 @@ def device_seconds_per_call(make_fn, n: int = 2001, tries: int = 4) -> float:
     return max((t[n] - t[1]) / (n - 1), 1e-9)
 
 
+def measure_frame_seconds(render_scalar, max_exec_seconds: float = 4.0):
+    """Adaptive frame timing that respects the device watchdog.
+
+    Fast frames are timed with in-graph repetition sized so one execution
+    stays under `max_exec_seconds` (single executions beyond ~10s crash
+    the tunneled worker); slow frames fall back to wall timing, where the
+    fixed host round-trip is negligible.
+    """
+    one = repeat_with_jitter(render_scalar, 1)
+    float(one())  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(one())
+        best = min(best, time.perf_counter() - t0)
+    if best > 1.0:
+        return best  # RTT ~30-50ms: noise at this scale
+    n = max(int(max_exec_seconds / max(best, 1e-4)), 2)
+    n = min(n, 2001)
+    return device_seconds_per_call(
+        lambda k: repeat_with_jitter(render_scalar, k), n=n)
+
+
 def repeat_with_jitter(render_scalar, reps: int):
     """Build a jitted thunk: sum of `reps` perturbed workload evaluations.
 

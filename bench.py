@@ -19,6 +19,8 @@ import numpy as np
 
 def main():
     import jax.numpy as jnp
+    from rray_tpu.api import enable_compile_cache
+    enable_compile_cache()
     from rray_tpu import (Camera, Material, Pattern, PointLight,
                           RenderSettings, Shape, compile_camera,
                           compile_scene)

@@ -12,6 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(width=800, height=600):
     import jax.numpy as jnp
+    from rray_tpu.api import enable_compile_cache
+    enable_compile_cache()
     from rray_tpu import Camera, RenderSettings, compile_camera, compile_scene
     from rray_tpu.io.yaml_loader import load_scene_file
     from rray_tpu.render.integrator import render

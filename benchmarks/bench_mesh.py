@@ -40,6 +40,8 @@ def uv_sphere_obj(n_lat=40, n_lon=40):
 def main(n_lat=40, n_lon=40, width=800, height=600):
     import jax
     import jax.numpy as jnp
+    from rray_tpu.api import enable_compile_cache
+    enable_compile_cache()
     from rray_tpu import (Camera, Material, Pattern, PointLight,
                           RenderSettings, Shape, compile_camera,
                           compile_scene)

@@ -17,6 +17,8 @@ sys.path.insert(0, BASE)
 
 def bench_scene(name, scene, cam, settings, n=None):
     import jax.numpy as jnp
+    from rray_tpu.api import enable_compile_cache
+    enable_compile_cache()
     from rray_tpu.render.integrator import render
     from rray_tpu.utils.timing import measure_frame_seconds
 

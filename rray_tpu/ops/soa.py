@@ -363,11 +363,22 @@ def sorted_slots_soa(scene: sd.SceneData, ro: V3, rd: V3):
         for t, valid in _leaf_slots(scene, kind, row, ro, rd):
             ts.append(jnp.where(valid, t, _INF))
             prims.append(jnp.full(R, pid, jnp.int32))
+    # Odd-even transposition network over the K slot lists: K rounds of
+    # elementwise compare-swaps on [R] pairs. Beats lax.sort along the
+    # major axis by a wide margin on TPU for the small analytic K, and
+    # strict > keeps ties stable like the reference's Vec sort.
+    K = len(ts)
+    for rnd in range(K):
+        for i in range(rnd % 2, K - 1, 2):
+            swap = ts[i] > ts[i + 1]
+            ta = jnp.where(swap, ts[i + 1], ts[i])
+            tb = jnp.where(swap, ts[i], ts[i + 1])
+            pa = jnp.where(swap, prims[i + 1], prims[i])
+            pb = jnp.where(swap, prims[i], prims[i + 1])
+            ts[i], ts[i + 1] = ta, tb
+            prims[i], prims[i + 1] = pa, pb
     t = jnp.stack(ts, axis=0)
     prim = jnp.stack(prims, axis=0)
-    # Validity is recoverable as isfinite(t), so only (t, prim) is sorted.
-    t, prim = jax.lax.sort((t, prim), dimension=0, num_keys=1,
-                           is_stable=True)
     return t, prim, jnp.isfinite(t)
 
 

@@ -13,8 +13,37 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import subprocess
+import sys
+import time
 
 import numpy as np
+
+
+def main_with_retries(attempts: int = 4, wait_s: float = 600.0):
+    """Run the measurement in a child process, retrying on device loss.
+
+    The tunneled TPU worker occasionally crashes and needs ~10 minutes to
+    recover; a wedged backend cannot be re-initialized in-process, so
+    each attempt gets a fresh interpreter.
+    """
+    env = dict(os.environ, RRAY_BENCH_CHILD="1")
+    for attempt in range(attempts):
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              timeout=3600)
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("{"):
+                print(line)
+                return 0
+        sys.stderr.write(proc.stderr[-2000:] + "\n")
+        if attempt < attempts - 1:
+            sys.stderr.write(
+                f"bench attempt {attempt + 1} failed; waiting "
+                f"{wait_s:.0f}s for device recovery\n")
+            time.sleep(wait_s)
+    return 1
 
 
 def main():
@@ -63,4 +92,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("RRAY_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(main_with_retries())

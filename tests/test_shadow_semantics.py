@@ -48,6 +48,29 @@ class TestIsShadowed:
         assert not is_shadowed(scene, [-2, 2, -2])
 
 
+class TestMultipleLights:
+    def test_two_half_lights_equal_one(self):
+        """shade_hit sums per-light contributions (scene.rs:159-178);
+        every Phong term is linear in intensity, so two co-located
+        half-intensity lights must exactly equal one full light."""
+        def build(lights):
+            s1 = Shape("sphere", material=Material(
+                pattern=Pattern.solid([0.8, 1.0, 0.6]), diffuse=0.7,
+                specular=0.2))
+            floor = Shape("plane", transform=mu.translate(0, -1, 0))
+            return compile_scene([s1, floor], lights, dtype=jnp.float64)
+
+        one = build([PointLight(LIGHT_POS, np.ones(3))])
+        two = build([PointLight(LIGHT_POS, np.ones(3) * 0.5),
+                     PointLight(LIGHT_POS, np.ones(3) * 0.5)])
+        ro = jnp.asarray([[0.0, 0.0, -5.0], [1.5, 0.2, -5.0]], jnp.float64)
+        rd = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]], jnp.float64)
+        key = jax.random.PRNGKey(0)
+        a = np.asarray(color_at(one, ro, rd, 2, SET, key))
+        b = np.asarray(color_at(two, ro, rd, 2, SET, key))
+        np.testing.assert_allclose(a, b, atol=1e-12)
+
+
 class TestRecursionLimits:
     def trace(self, scene, origin, direction, remaining):
         ro = jnp.asarray([origin], jnp.float64)

@@ -107,8 +107,12 @@ def _lighting_soa(scene, hit, base: V3, light, point: V3, eyev: V3,
         ambient.z + (effective.z * dscale + li[2] * sscale) * unshadow)
 
 
-def _color_at_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
-                  settings: RenderSettings, key) -> V3:
+def _fast_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
+                    settings: RenderSettings, key):
+    """One fast-path node: closest hit + full surface shade.
+
+    Returns (surface V3 masked by found, over V3, reflect dir V3,
+    reflect weight [R] masked by found)."""
     dtype = ro.dtype
     eps = offset_eps(dtype)
     hit = soa.closest_hit_soa(scene, ro, rd, settings)
@@ -136,18 +140,42 @@ def _color_at_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
         frac = _shadow_fraction_soa(scene, light, over, settings, lk)
         surface = surface + _lighting_soa(scene, hit, base, light, over,
                                           eyev, normalv, frac)
+    surface = V3(jnp.where(found, surface.x, 0.0),
+                 jnp.where(found, surface.y, 0.0),
+                 jnp.where(found, surface.z, 0.0))
 
-    color = surface
-    if remaining > 0 and scene.has_reflective:
-        reflectv = rd.reflect(normalv)
-        rc = _color_at_soa(scene, over, reflectv, remaining - 1, settings,
-                           jax.random.fold_in(key, 1))
-        from ..ops.vec import take_rows
-        refl = take_rows(scene.mat_reflective, hit.prim)
-        color = color + rc * refl
+    from ..ops.vec import take_rows
+    refl = jnp.where(found, take_rows(scene.mat_reflective, hit.prim), 0.0)
+    return surface, over, rd.reflect(normalv), refl
 
-    return V3(jnp.where(found, color.x, 0.0), jnp.where(found, color.y, 0.0),
-              jnp.where(found, color.z, 0.0))
+
+def _color_at_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
+                  settings: RenderSettings, key) -> V3:
+    """Fast path (no CSG/transparency): surface + reflection chain.
+
+    The chain runs under lax.scan (weights carry the reflective product),
+    so the node body compiles once regardless of depth — the unrolled
+    multi-level graphs crash the remote TPU compiler."""
+    if remaining == 0 or not scene.has_reflective:
+        surface, *_ = _fast_node_eval(scene, ro, rd, settings,
+                                      jax.random.fold_in(key, 0))
+        return surface
+
+    acc0 = V3(jnp.zeros_like(ro.x), jnp.zeros_like(ro.x),
+              jnp.zeros_like(ro.x))
+    weights0 = jnp.ones_like(ro.x)
+
+    def body(carry, level):
+        origins, dirs, weights, acc = carry
+        lk = jax.random.fold_in(key, level)
+        surface, over, reflectv, refl = _fast_node_eval(
+            scene, origins, dirs, settings, lk)
+        acc = acc + surface * weights
+        return (over, reflectv, weights * refl, acc), None
+
+    (_, _, _, acc), _ = jax.lax.scan(
+        body, (ro, rd, weights0, acc0), jnp.arange(remaining + 1))
+    return acc
 
 
 def _schlick_soa(eyev: V3, normalv: V3, n1, n2):

@@ -615,6 +615,100 @@ def refractive_indices_soa(scene: sd.SceneData, slots, hit_idx, depth=None):
     return innermost_ior(True), innermost_ior(False)
 
 
+def refractive_indices_direct(scene: sd.SceneData, ro: V3, rd: V3,
+                              t_hit, hit_prim, settings):
+    """n1/n2 without any sorted slot list (non-CSG scenes).
+
+    Equivalent to the containers walk (intersection.rs:61-92): a prim is
+    a container at the hit iff it has an odd number of crossings strictly
+    before t_hit, and the innermost container is the one whose latest
+    crossing (its entry) is largest in t. Both are per-leaf masked
+    reductions over that leaf's own hit slots — no inter-slot ordering
+    needed. Triangles cross a ray at most once, so a mesh contributes a
+    single chunked max-merge.
+
+    n2 repeats the computation including the hit crossing itself; at the
+    hit slot the hit prim toggles, which the <=/strict split captures
+    (exact-t ties between different prims are resolved by t rather than
+    sort order — measure-zero vs the reference).
+    """
+    dtype = ro.dtype
+    R = ro.x.shape
+    neg = jnp.asarray(-jnp.inf, dtype)
+    # The hit's own crossing is matched by (prim, ~t) rather than exact t:
+    # re-deriving the crossing re-fuses the arithmetic, so bitwise
+    # equality with the closest-hit t is not guaranteed.
+    tol = (1e-9 if dtype == jnp.float64 else 1e-4) \
+        * jnp.maximum(1.0, jnp.abs(t_hit))
+
+    def fold(best_t, best_prim, cand_t, cand_ok, pid):
+        better = cand_ok & (cand_t > best_t)
+        return (jnp.where(better, cand_t, best_t),
+                jnp.where(better, pid, best_prim))
+
+    def compute(strict: bool):
+        best_t = jnp.full(R, neg, dtype)
+        best_prim = jnp.zeros(R, jnp.int32)
+        for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
+                                              scene.prim_rows_static)):
+            if kind == sd.TRIANGLE:
+                continue
+            slots = _leaf_slots(scene, kind, row, ro, rd)
+            cnt = jnp.zeros(R, jnp.int32)
+            last = jnp.full(R, neg, dtype)
+            for t, valid in slots:
+                is_hit = (hit_prim == pid) & (jnp.abs(t - t_hit) <= tol)
+                if strict:
+                    inside_prefix = valid & (t < t_hit) & ~is_hit
+                else:
+                    inside_prefix = valid & ((t < t_hit) | is_hit)
+                cnt = cnt + inside_prefix.astype(jnp.int32)
+                last = jnp.maximum(last, jnp.where(inside_prefix, t, neg))
+            odd = (cnt % 2) == 1
+            best_t, best_prim = fold(best_t, best_prim, last, odd, pid)
+
+        T = scene.counts[6]
+        if T:
+            n_chunks, chunk, p1, e1, e2, pid_tbl, live = _tri_chunks(
+                scene, min(settings.tri_chunk, max(T, 1)))
+
+            def chunk_fold(carry, xs):
+                bt, bp = carry
+                cp1, ce1, ce2, cpid = xs
+                tt, _, _, ok = _tri_chunk_eval(ro, rd, cp1, ce1, ce2)
+                is_hit = ((cpid[None, :] == hit_prim[:, None])
+                          & (jnp.abs(tt - t_hit[:, None]) <= tol[:, None]))
+                if strict:
+                    okp = ok & (tt < t_hit[:, None]) & ~is_hit
+                else:
+                    okp = ok & ((tt < t_hit[:, None]) | is_hit)
+                tt = jnp.where(okp, tt, -_INF)
+                idx = jnp.argmax(tt, axis=1).astype(jnp.int32)
+                col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+                onehot = col == idx[:, None]
+                ct = jnp.max(tt, axis=1)
+                cp = jnp.sum(jnp.where(onehot, cpid[None, :], 0), axis=1,
+                             dtype=jnp.int32)
+                return fold(bt, bp, ct, jnp.isfinite(ct), cp), None
+
+            live_pid = jnp.where(live, pid_tbl, -1)
+            if n_chunks == 1:
+                (best_t, best_prim), _ = chunk_fold(
+                    (best_t, best_prim),
+                    (tuple(c[0] for c in p1), tuple(c[0] for c in e1),
+                     tuple(c[0] for c in e2), live_pid[0]))
+            else:
+                (best_t, best_prim), _ = jax.lax.scan(
+                    chunk_fold, (best_t, best_prim),
+                    (p1, e1, e2, live_pid))
+
+        have = jnp.isfinite(best_t)
+        ior = take_rows(scene.mat_ior, jnp.maximum(best_prim, 0))
+        return jnp.where(have, ior, jnp.asarray(1.0, dtype))
+
+    return compute(True), compute(False)
+
+
 def any_hit_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, distance,
                        settings=None):
     """Shadow test honoring CSG filtering (scene.rs:234-245)."""

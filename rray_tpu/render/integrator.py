@@ -203,22 +203,30 @@ def _sorted_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
     """
     dtype = ro.dtype
     eps = offset_eps(dtype)
-    if scene.counts[6]:
-        slots = soa.sorted_slots_full_soa(scene, ro, rd, settings)
-    else:
-        slots = soa.sorted_slots_soa(scene, ro, rd)
     if scene.csg_ops:
+        # CSG filtering consumes the ordered slot list.
+        if scene.counts[6]:
+            slots = soa.sorted_slots_full_soa(scene, ro, rd, settings)
+        else:
+            slots = soa.sorted_slots_soa(scene, ro, rd)
         slots = soa.apply_csg_soa(scene, slots)
-    sel = soa.select_hit_slots(slots)
-    found, t, prim, hit_idx = sel[:4]
-    zero = jnp.zeros_like(t)
-    if len(sel) > 4:
-        hit_u, hit_v, hit_tri = sel[4:]
-        hit = soa.Hit(found=found, t=t, prim=prim, u=hit_u, v=hit_v,
-                      tri=hit_tri)
+        sel = soa.select_hit_slots(slots)
+        found, t, prim, hit_idx = sel[:4]
+        zero = jnp.zeros_like(t)
+        if len(sel) > 4:
+            hit_u, hit_v, hit_tri = sel[4:]
+            hit = soa.Hit(found=found, t=t, prim=prim, u=hit_u, v=hit_v,
+                          tri=hit_tri)
+        else:
+            hit = soa.Hit(found=found, t=t, prim=prim, u=zero, v=zero,
+                          tri=jnp.zeros_like(prim))
     else:
-        hit = soa.Hit(found=found, t=t, prim=prim, u=zero, v=zero,
-                      tri=jnp.zeros_like(prim))
+        # Transparency without CSG: closest hit directly; n1/n2 come from
+        # the slot-free crossing-parity reduction below.
+        slots = None
+        hit = soa.closest_hit_soa(scene, ro, rd, settings)
+        found, t, prim = hit.found, hit.t, hit.prim
+        zero = jnp.zeros_like(t)
 
     t_safe = jnp.where(found, t, 0.0)
     point = ro + rd * t_safe
@@ -231,9 +239,12 @@ def _sorted_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
     over = point + normalv * eps
     under = point - normalv * eps
 
-    if scene.has_transparent:
+    if scene.has_transparent and slots is not None:
         n1, n2 = soa.refractive_indices_soa(scene, slots, hit_idx,
                                             settings.containers_depth)
+    elif scene.has_transparent:
+        n1, n2 = soa.refractive_indices_direct(
+            scene, ro, rd, jnp.where(found, t, -1.0), prim, settings)
     else:
         n1 = n2 = jnp.ones_like(t)
 

@@ -1,23 +1,26 @@
-"""The Whitted integrator as a statically-unrolled wavefront.
+"""The Whitted integrator as a scan-based wavefront.
 
-`Scene::color_at`'s depth-5 recursion (scene.rs:128-136,159-178) becomes a
-trace-time-unrolled ray tree over whole ray batches: at each node we
-intersect, shade all lights (with shadow rays), then spawn reflection and
-refraction child batches. Host-static scene flags prune the tree — a scene
-with no transparent material compiles to a pure reflection chain (6
-passes) instead of the full 63-node tree.
+`Scene::color_at`'s depth-5 recursion (scene.rs:128-136,159-178) becomes
+batched node evaluations under lax.scan: each node intersects, shades all
+lights (with shadow rays), and hands reflection/refraction children to
+the next scan step as fixed-width ray state with scalar path weights
+(the tree is a weighted sum over root-to-node paths). One node body per
+graph — unrolled multi-level graphs crash the remote TPU compiler.
 
-Two regimes share the shading semantics:
+Three regimes share the shading semantics (all SoA component math —
+ops/vec.py, ops/soa.py, render/shade_soa.py):
 
-* **SoA fast path** (no CSG, no transparency): component-array math
-  throughout (ops/vec.py, ops/soa.py, render/shade_soa.py) — closest hit
-  by running masked min, shadows by any-hit. This is the TPU speed path.
-* **Sorted path** (CSG filtering csg.rs:177-195 or the n1/n2 containers
-  walk intersection.rs:61-92 needed): per-ray sorted hit prefixes via
-  ops/hits.py.
+* **Fast path** (no CSG, no transparency): closest hit by running masked
+  min, shadows by any-hit, reflection chain scan (width 1).
+* **Transparency without CSG**: closest hit + slot-free n1/n2 crossing-
+  parity reductions (intersection.rs:61-92 semantics), wavefront width
+  2^depth when reflection also spawns.
+* **CSG scenes** (csg.rs:177-195 filtering needs slot order): per-ray
+  sorted [K, R] slot lists via a compare-swap network.
 
 All branching is masked math; missed rays carry sanitized geometry so no
-NaNs leak into gradients.
+NaNs leak into gradients. The AoS variants (_color_at_sorted, ops/hits)
+remain as the A/B oracle for tests.
 """
 from __future__ import annotations
 
@@ -195,11 +198,11 @@ def _sorted_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
                       settings: RenderSettings, key):
     """One sorted-path Whitted node over a ray batch (component form).
 
-    Returns (surface V3, found, over V3, under V3, reflect dir V3,
-    refract dir V3, reflect weight [R], refract weight [R]) — the weights
-    carry the reference's reflective/transparency factors with the
-    Schlick blend pre-applied when both are active (scene.rs:159-178), so
-    the Whitted ray TREE evaluates as a weighted SUM over tree paths.
+    Returns (surface V3, over V3, under V3, reflect dir V3, refract dir
+    V3, reflect weight [R], refract weight [R]) — the weights carry the
+    reference's reflective/transparency factors with the Schlick blend
+    pre-applied when both are active (scene.rs:159-178), so the Whitted
+    ray TREE evaluates as a weighted SUM over tree paths.
     """
     dtype = ro.dtype
     eps = offset_eps(dtype)

@@ -32,19 +32,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import EPSILON
 
-BR = 512    # rays per program
-CHUNK = 512  # triangles per inner step
+BR = 512        # rays per program
+CHUNK = 512      # max triangles per inner step
+CHUNK_ALIGN = 128  # lane alignment for small meshes
 
 _INF = float("inf")
 _FAR = 1e30
 
 
-def _kernel(rox, roy, roz, rdx, rdy, rdz,
+def chunk_size(T: int) -> int:
+    """Lane-aligned chunk: small meshes avoid padding to the full 512."""
+    if T >= CHUNK:
+        return CHUNK
+    return -(-T // CHUNK_ALIGN) * CHUNK_ALIGN
+
+
+def _kernel(chunk, rox, roy, roz, rdx, rdy, rdz,
             p1x, p1y, p1z, e1x, e1y, e1z, e2x, e2y, e2z,
             blox, bloy, bloz, bhix, bhiy, bhiz,
             t_ref, u_ref, v_ref, idx_ref):
     T = p1x.shape[1]
-    n_chunks = T // CHUNK
+    n_chunks = T // chunk
 
     ox = rox[0, :][:, None]
     oy = roy[0, :][:, None]
@@ -62,7 +70,7 @@ def _kernel(rox, roy, roz, rdx, rdy, rdz,
 
     def mt_body(c, carry):
         bt, bu, bv, bi = carry
-        s = pl.ds(c * CHUNK, CHUNK)
+        s = pl.ds(c * chunk, chunk)
         te1x = e1x[0, s][None, :]
         te1y = e1y[0, s][None, :]
         te1z = e1z[0, s][None, :]
@@ -103,7 +111,7 @@ def _kernel(rox, roy, roz, rdx, rdy, rdz,
         return (jnp.where(better, ct, bt),
                 jnp.where(better, take(uu), bu),
                 jnp.where(better, take(vv), bv),
-                jnp.where(better, c * CHUNK + local, bi))
+                jnp.where(better, c * chunk + local, bi))
 
     def body(c, carry):
         # Block-level cull: does any ray in this block enter chunk c's box
@@ -153,15 +161,16 @@ def closest_triangle(ro_comps, rd_comps, tri_comps, interpret: bool = False):
     """
     R = ro_comps[0].shape[0]
     T = tri_comps[0].shape[0]
-    assert R % BR == 0 and T % CHUNK == 0, (R, T)
-    n_chunks = T // CHUNK
+    chunk = chunk_size(T)
+    assert R % BR == 0 and T % chunk == 0, (R, T, chunk)
+    n_chunks = T // chunk
 
     # Per-chunk AABBs over the three vertices (p1, p1+e1, p1+e2).
     boxes = []
     for j in range(3):
-        p1 = tri_comps[j].reshape(n_chunks, CHUNK)
-        v2 = p1 + tri_comps[3 + j].reshape(n_chunks, CHUNK)
-        v3 = p1 + tri_comps[6 + j].reshape(n_chunks, CHUNK)
+        p1 = tri_comps[j].reshape(n_chunks, chunk)
+        v2 = p1 + tri_comps[3 + j].reshape(n_chunks, chunk)
+        v3 = p1 + tri_comps[6 + j].reshape(n_chunks, chunk)
         lo = jnp.minimum(jnp.minimum(p1.min(1), v2.min(1)), v3.min(1))
         hi = jnp.maximum(jnp.maximum(p1.max(1), v2.max(1)), v3.max(1))
         boxes.append((lo, hi))
@@ -182,8 +191,9 @@ def closest_triangle(ro_comps, rd_comps, tri_comps, interpret: bool = False):
     args += [c.reshape(1, T) for c in tri_comps]
     args += [c.reshape(1, n_chunks) for c in aabb]
 
+    import functools as _ft
     outs = pl.pallas_call(
-        _kernel,
+        _ft.partial(_kernel, chunk),
         grid=grid,
         in_specs=[ray_spec] * 6 + [tri_spec] * 9 + [box_spec] * 6,
         out_specs=(out_spec, out_spec, out_spec, out_spec),

@@ -253,7 +253,7 @@ def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings):
     R = ro.x.shape[0]
     interpret = getattr(settings, "pallas", "off") == "interpret"
     padR = (-R) % ktri.BR
-    padT = (-T) % ktri.CHUNK
+    padT = (-T) % ktri.chunk_size(T)
 
     def padr(c):
         return jnp.pad(c, (0, padR)) if padR else c
@@ -739,10 +739,9 @@ def any_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, distance, settings):
             scene, min(settings.tri_chunk, max(T, 1)))
 
         def chunk_any(cp1, ce1, ce2, clive):
-            ct, _, _, _, _ = _tri_chunk_best(
-                ro, rd, cp1, ce1, ce2, jnp.zeros_like(clive, jnp.int32),
-                clive, base=0)
-            return ct < distance
+            tt, _, _, ok = _tri_chunk_eval(ro, rd, cp1, ce1, ce2)
+            ok = ok & clive[None, :] & (tt >= 0.0) & (tt < distance[:, None])
+            return jnp.any(ok, axis=1)
 
         if n_chunks == 1:
             hit = hit | chunk_any(tuple(c[0] for c in p1),

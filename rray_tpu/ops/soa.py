@@ -508,21 +508,20 @@ def apply_csg_soa(scene: sd.SceneData, slots):
     sorted [K, R] slots, innermost first. Dropped slots keep their t (for
     ordering) but lose validity.
 
-    The reference's sequential in-left/in-right toggling is a parity of
-    hit counts BEFORE each slot, so the whole filter evaluates as two
-    exclusive prefix sums over the slot axis — fully parallel, no scan.
+    One lax.scan over the slot axis per CSG node, carrying the in-left/
+    in-right parities — the graph holds one ~10-op body per node instead
+    of K unrolled copies, so compile time is flat in max_hits.
     """
     t, prim, valid = slots[:3]
     extra = slots[3:]
-    K = t.shape[0]
     R = t.shape[1:]
     for ci, op in enumerate(scene.csg_ops):
         side_table = scene.csg_side[ci]
-        inl = jnp.zeros(R, bool)
-        inr = jnp.zeros(R, bool)
-        keeps = []
-        for k in range(K):
-            s = jnp.where(valid[k], take_rows(side_table, prim[k]), 0)
+
+        def body(carry, xs, op=op, side_table=side_table):
+            inl, inr = carry
+            prim_k, valid_k = xs
+            s = jnp.where(valid_k, take_rows(side_table, prim_k), 0)
             lhit = s == 1
             under = s > 0
             if op == sd.CSG_UNION:
@@ -531,10 +530,11 @@ def apply_csg_soa(scene: sd.SceneData, slots):
                 allowed = (lhit & inr) | (~lhit & inl)
             else:
                 allowed = (lhit & ~inr) | (~lhit & inl)
-            keeps.append(valid[k] & (~under | allowed))
-            inl = inl ^ lhit
-            inr = inr ^ (s == 2)
-        valid = jnp.stack(keeps, axis=0)
+            keep = valid_k & (~under | allowed)
+            return (inl ^ lhit, inr ^ (s == 2)), keep
+
+        init = (jnp.zeros(R, bool), jnp.zeros(R, bool))
+        _, valid = jax.lax.scan(body, init, (prim, valid))
     return (t, prim, valid) + tuple(extra)
 
 
@@ -566,53 +566,65 @@ def select_hit_slots(slots):
     return found, t_out, prim_out, idx_out
 
 
-def refractive_indices_soa(scene: sd.SceneData, slots, hit_idx, depth=None):
-    """n1/n2 containers walk (intersection.rs:61-92), fully parallel.
+def refractive_indices_soa(scene: sd.SceneData, slots, hit_idx, depth=8):
+    """n1/n2 containers walk (intersection.rs:61-92) as ONE lax.scan.
 
-    The reference maintains an ordered container list (append on enter,
-    remove on exit) and reads its last element. Equivalently: the
-    innermost container within a slot prefix is the latest slot that (a)
-    ENTERS its primitive (an even number of same-primitive occurrences
-    precede it) and (b) has no later same-primitive occurrence inside the
-    prefix. Both conditions are masked reductions over pairwise
-    same-primitive [K, K, R] masks — no sequential scan, and exact for
-    any nesting depth (the scan version needed a `depth` cap, retained in
-    the signature for compatibility)."""
+    The reference keeps an ordered container list: append the prim on
+    enter, remove-by-value on exit, and read the LAST element (the
+    innermost) just before and just after processing the hit's own slot.
+    Here the list is an explicit [D, R] stack carried through a scan over
+    the K sorted slots (rays stay in lanes): membership test, remove-with-
+    shift, and push are each D masked elementwise ops, so the graph is one
+    O(D) body instead of the old O(K^2)..O(K^3) unrolled reductions and
+    the work is O(K*D*R). `depth` bounds simultaneous open containers
+    (settings.containers_depth); deeper nesting drops the overflowing
+    entry, matching the previous bounded-depth semantics."""
     t, prim, valid = slots[:3]
     K = t.shape[0]
     R = t.shape[1:]
     dtype = t.dtype
+    D = max(int(depth) if depth else 8, 1)
+    one = jnp.asarray(1.0, dtype)
 
-    def same(a, b):
-        return (prim[a] == prim[b]) & valid[a] & valid[b]
+    # is_hit[k] = (k == hit_idx), shaped [K, R].
+    karange = jnp.arange(K).reshape((K,) + (1,) * len(R))
+    is_hit = karange == hit_idx[None]
 
-    # enter[k]: even count of same-prim slots before k.
-    enter = []
-    for k in range(K):
-        cnt = jnp.zeros(R, jnp.int32)
-        for j in range(k):
-            cnt = cnt + same(j, k).astype(jnp.int32)
-        enter.append((cnt % 2) == 0)
+    def top_ior(stack, size):
+        top = jnp.zeros(R, jnp.int32)
+        for d in range(D):
+            top = jnp.where(size == d + 1, stack[d], top)
+        return jnp.where(size > 0, take_rows(scene.mat_ior, top), one)
 
-    def innermost_ior(strict: bool):
-        """IOR of the innermost open container among slots before (or
-        through, when strict=False) the hit slot."""
-        have = jnp.zeros(R, bool)
-        best_prim = jnp.zeros(R, jnp.int32)
-        for k in range(K):
-            prefix_k = (k < hit_idx) if strict else (k <= hit_idx)
-            later = jnp.zeros(R, bool)
-            for j in range(k + 1, K):
-                prefix_j = (j < hit_idx) if strict else (j <= hit_idx)
-                later = later | (same(k, j) & prefix_j)
-            open_k = valid[k] & prefix_k & enter[k] & ~later
-            # Ascending k: the last write wins = innermost (latest enter).
-            best_prim = jnp.where(open_k, prim[k], best_prim)
-            have = have | open_k
-        ior = take_rows(scene.mat_ior, best_prim)
-        return jnp.where(have, ior, jnp.asarray(1.0, dtype))
+    def body(carry, xs):
+        stack, size, n1, n2 = carry
+        prim_k, valid_k, hit_k = xs
+        n1 = jnp.where(hit_k, top_ior(stack, size), n1)
+        match = [(stack[d] == prim_k) & (d < size) for d in range(D)]
+        found = jnp.zeros(R, bool)
+        for m in match:
+            found = found | m
+        new_rows = []
+        shift = jnp.zeros(R, bool)
+        for d in range(D):
+            shift = shift | match[d]
+            above = stack[d + 1] if d + 1 < D else jnp.zeros(R, jnp.int32)
+            removed = jnp.where(shift, above, stack[d])
+            pushed = jnp.where(d == size, prim_k, stack[d])
+            new_rows.append(jnp.where(valid_k,
+                                      jnp.where(found, removed, pushed),
+                                      stack[d]))
+        stack = jnp.stack(new_rows, axis=0)
+        size = jnp.where(valid_k,
+                         jnp.where(found, size - 1, jnp.minimum(size + 1, D)),
+                         size)
+        n2 = jnp.where(hit_k, top_ior(stack, size), n2)
+        return (stack, size, n1, n2), None
 
-    return innermost_ior(True), innermost_ior(False)
+    init = (jnp.zeros((D,) + R, jnp.int32), jnp.zeros(R, jnp.int32),
+            jnp.ones(R, dtype), jnp.ones(R, dtype))
+    (_, _, n1, n2), _ = jax.lax.scan(body, init, (prim, valid, is_hit))
+    return n1, n2
 
 
 def refractive_indices_direct(scene: sd.SceneData, ro: V3, rd: V3,
@@ -646,67 +658,84 @@ def refractive_indices_direct(scene: sd.SceneData, ro: V3, rd: V3,
         return (jnp.where(better, cand_t, best_t),
                 jnp.where(better, pid, best_prim))
 
-    def compute(strict: bool):
-        best_t = jnp.full(R, neg, dtype)
-        best_prim = jnp.zeros(R, jnp.int32)
-        for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
-                                              scene.prim_rows_static)):
-            if kind == sd.TRIANGLE:
-                continue
-            slots = _leaf_slots(scene, kind, row, ro, rd)
-            cnt = jnp.zeros(R, jnp.int32)
-            last = jnp.full(R, neg, dtype)
-            for t, valid in slots:
-                is_hit = (hit_prim == pid) & (jnp.abs(t - t_hit) <= tol)
-                if strict:
-                    inside_prefix = valid & (t < t_hit) & ~is_hit
-                else:
-                    inside_prefix = valid & ((t < t_hit) | is_hit)
-                cnt = cnt + inside_prefix.astype(jnp.int32)
-                last = jnp.maximum(last, jnp.where(inside_prefix, t, neg))
-            odd = (cnt % 2) == 1
-            best_t, best_prim = fold(best_t, best_prim, last, odd, pid)
+    # One pass over every leaf's slots computes BOTH prefixes: strict
+    # (crossings before the hit -> n1) and loose (through the hit -> n2)
+    # differ only in whether the hit's own crossing counts, so the
+    # expensive part — evaluating each leaf's closed-form slots (quartic
+    # for tori, affine transforms everywhere) — is shared.
+    best_t_s = jnp.full(R, neg, dtype)
+    best_prim_s = jnp.zeros(R, jnp.int32)
+    best_t_l = jnp.full(R, neg, dtype)
+    best_prim_l = jnp.zeros(R, jnp.int32)
+    for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
+                                          scene.prim_rows_static)):
+        if kind == sd.TRIANGLE:
+            continue
+        slots = _leaf_slots(scene, kind, row, ro, rd)
+        cnt_s = jnp.zeros(R, jnp.int32)
+        last_s = jnp.full(R, neg, dtype)
+        cnt_l = jnp.zeros(R, jnp.int32)
+        last_l = jnp.full(R, neg, dtype)
+        for t, valid in slots:
+            is_hit = (hit_prim == pid) & (jnp.abs(t - t_hit) <= tol)
+            before = valid & (t < t_hit)
+            in_s = before & ~is_hit
+            in_l = before | (valid & is_hit)
+            cnt_s = cnt_s + in_s.astype(jnp.int32)
+            last_s = jnp.maximum(last_s, jnp.where(in_s, t, neg))
+            cnt_l = cnt_l + in_l.astype(jnp.int32)
+            last_l = jnp.maximum(last_l, jnp.where(in_l, t, neg))
+        best_t_s, best_prim_s = fold(best_t_s, best_prim_s, last_s,
+                                     (cnt_s % 2) == 1, pid)
+        best_t_l, best_prim_l = fold(best_t_l, best_prim_l, last_l,
+                                     (cnt_l % 2) == 1, pid)
 
-        T = scene.counts[6]
-        if T:
-            n_chunks, chunk, p1, e1, e2, pid_tbl, live = _tri_chunks(
-                scene, min(settings.tri_chunk, max(T, 1)))
+    T = scene.counts[6]
+    if T:
+        n_chunks, chunk, p1, e1, e2, pid_tbl, live = _tri_chunks(
+            scene, min(settings.tri_chunk, max(T, 1)))
 
-            def chunk_fold(carry, xs):
-                bt, bp = carry
-                cp1, ce1, ce2, cpid = xs
-                tt, _, _, ok = _tri_chunk_eval(ro, rd, cp1, ce1, ce2)
-                is_hit = ((cpid[None, :] == hit_prim[:, None])
-                          & (jnp.abs(tt - t_hit[:, None]) <= tol[:, None]))
-                if strict:
-                    okp = ok & (tt < t_hit[:, None]) & ~is_hit
-                else:
-                    okp = ok & ((tt < t_hit[:, None]) | is_hit)
-                tt = jnp.where(okp, tt, -_INF)
-                idx = jnp.argmax(tt, axis=1).astype(jnp.int32)
-                col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+        def chunk_fold(carry, xs):
+            bts, bps, btl, bpl = carry
+            cp1, ce1, ce2, cpid = xs
+            tt, _, _, ok = _tri_chunk_eval(ro, rd, cp1, ce1, ce2)
+            is_hit = ((cpid[None, :] == hit_prim[:, None])
+                      & (jnp.abs(tt - t_hit[:, None]) <= tol[:, None]))
+            before = ok & (tt < t_hit[:, None])
+
+            def reduce_max(okp):
+                ttm = jnp.where(okp, tt, -_INF)
+                idx = jnp.argmax(ttm, axis=1).astype(jnp.int32)
+                col = jax.lax.broadcasted_iota(jnp.int32, ttm.shape, 1)
                 onehot = col == idx[:, None]
-                ct = jnp.max(tt, axis=1)
+                ct = jnp.max(ttm, axis=1)
                 cp = jnp.sum(jnp.where(onehot, cpid[None, :], 0), axis=1,
                              dtype=jnp.int32)
-                return fold(bt, bp, ct, jnp.isfinite(ct), cp), None
+                return ct, cp
 
-            live_pid = jnp.where(live, pid_tbl, -1)
-            if n_chunks == 1:
-                (best_t, best_prim), _ = chunk_fold(
-                    (best_t, best_prim),
-                    (tuple(c[0] for c in p1), tuple(c[0] for c in e1),
-                     tuple(c[0] for c in e2), live_pid[0]))
-            else:
-                (best_t, best_prim), _ = jax.lax.scan(
-                    chunk_fold, (best_t, best_prim),
-                    (p1, e1, e2, live_pid))
+            cts, cps = reduce_max(before & ~is_hit)
+            ctl, cpl = reduce_max(before | (ok & is_hit))
+            bts, bps = fold(bts, bps, cts, jnp.isfinite(cts), cps)
+            btl, bpl = fold(btl, bpl, ctl, jnp.isfinite(ctl), cpl)
+            return (bts, bps, btl, bpl), None
 
+        live_pid = jnp.where(live, pid_tbl, -1)
+        carry = (best_t_s, best_prim_s, best_t_l, best_prim_l)
+        if n_chunks == 1:
+            carry, _ = chunk_fold(
+                carry, (tuple(c[0] for c in p1), tuple(c[0] for c in e1),
+                        tuple(c[0] for c in e2), live_pid[0]))
+        else:
+            carry, _ = jax.lax.scan(chunk_fold, carry,
+                                    (p1, e1, e2, live_pid))
+        best_t_s, best_prim_s, best_t_l, best_prim_l = carry
+
+    def to_ior(best_t, best_prim):
         have = jnp.isfinite(best_t)
         ior = take_rows(scene.mat_ior, jnp.maximum(best_prim, 0))
         return jnp.where(have, ior, jnp.asarray(1.0, dtype))
 
-    return compute(True), compute(False)
+    return to_ior(best_t_s, best_prim_s), to_ior(best_t_l, best_prim_l)
 
 
 def any_hit_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, distance,

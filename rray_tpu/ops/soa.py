@@ -276,8 +276,28 @@ def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings):
     return t, u, v, prim, idx
 
 
-def closest_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, settings) -> Hit:
-    """First t >= 0 hit across all primitives (fast path; no sorted list)."""
+def _is_member(scene: sd.SceneData, pid: int) -> bool:
+    ms = scene.csg_member_static
+    return bool(ms[pid]) if pid < len(ms) else False
+
+
+def member_pids(scene: sd.SceneData):
+    """Prim ids that are operands of some CSG node (static)."""
+    return tuple(p for p, m in enumerate(scene.csg_member_static) if m)
+
+
+def csg_members_analytic(scene: sd.SceneData) -> bool:
+    """True when every CSG operand is an analytic leaf (no mesh inside a
+    CSG), enabling the hybrid path that sorts member slots only."""
+    return all(scene.prim_kinds[p] != sd.TRIANGLE for p in member_pids(scene))
+
+
+def closest_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, settings,
+                    skip_members: bool = False) -> Hit:
+    """First t >= 0 hit across all primitives (fast path; no sorted list).
+
+    skip_members=True restricts to prims outside every CSG (the hybrid
+    CSG path merges in the filtered member hit separately)."""
     dtype = ro.dtype
     R = ro.x.shape
     best_t = jnp.full(R, _INF, dtype)
@@ -290,6 +310,8 @@ def closest_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, settings) -> Hit:
     for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
                                           scene.prim_rows_static)):
         if kind == sd.TRIANGLE:
+            continue
+        if skip_members and _is_member(scene, pid):
             continue
         for t, valid in _leaf_slots(scene, kind, row, ro, rd):
             t = jnp.where(valid & (t >= 0.0), t, _INF)
@@ -380,6 +402,64 @@ def sorted_slots_soa(scene: sd.SceneData, ro: V3, rd: V3):
     t = jnp.stack(ts, axis=0)
     prim = jnp.stack(prims, axis=0)
     return t, prim, jnp.isfinite(t)
+
+
+def sorted_member_slots(scene: sd.SceneData, ro: V3, rd: V3):
+    """Sorted [K, R] slots over CSG-MEMBER prims only.
+
+    CSG filtering (csg.rs:177-195) depends only on slots whose prim lies
+    under some CSG node: non-member slots are always kept and never
+    toggle the in-left/in-right state. So the hybrid path sorts this
+    small analytic subset (a compare-swap network like sorted_slots_soa)
+    and leaves everything else on the sort-free fast path."""
+    R = ro.x.shape
+    ts, prims = [], []
+    for pid in member_pids(scene):
+        kind = scene.prim_kinds[pid]
+        row = scene.prim_rows_static[pid]
+        assert kind != sd.TRIANGLE, "hybrid CSG path requires analytic members"
+        for t, valid in _leaf_slots(scene, kind, row, ro, rd):
+            ts.append(jnp.where(valid, t, _INF))
+            prims.append(jnp.full(R, pid, jnp.int32))
+    K = len(ts)
+    for rnd in range(K):
+        for i in range(rnd % 2, K - 1, 2):
+            swap = ts[i] > ts[i + 1]
+            ta = jnp.where(swap, ts[i + 1], ts[i])
+            tb = jnp.where(swap, ts[i], ts[i + 1])
+            pa = jnp.where(swap, prims[i + 1], prims[i])
+            pb = jnp.where(swap, prims[i], prims[i + 1])
+            ts[i], ts[i + 1] = ta, tb
+            prims[i], prims[i + 1] = pa, pb
+    t = jnp.stack(ts, axis=0)
+    prim = jnp.stack(prims, axis=0)
+    return t, prim, jnp.isfinite(t)
+
+
+def csg_filtered_member_hit(scene: sd.SceneData, ro: V3, rd: V3):
+    """Hybrid-path CSG evaluation: sorted member slots -> CSG filter ->
+    (found, t, prim) of the first surviving t >= 0 slot, plus the
+    filtered slots themselves (for the n1/n2 walk)."""
+    slots = apply_csg_soa(scene, sorted_member_slots(scene, ro, rd))
+    found, t, prim, _ = select_hit_slots(slots)
+    return found, t, prim, slots
+
+
+def closest_hit_hybrid(scene: sd.SceneData, ro: V3, rd: V3, settings):
+    """Closest hit for CSG scenes whose operands are all analytic:
+    fast masked-min over non-member prims + meshes, merged with the
+    CSG-filtered member hit. Returns (Hit, filtered member slots)."""
+    hit = closest_hit_soa(scene, ro, rd, settings, skip_members=True)
+    mfound, mt, mprim, mslots = csg_filtered_member_hit(scene, ro, rd)
+    better = mfound & (mt < hit.t)
+    zero = jnp.zeros_like(hit.u)
+    merged = Hit(found=hit.found | mfound,
+                 t=jnp.where(better, mt, hit.t),
+                 prim=jnp.where(better, mprim, hit.prim),
+                 u=jnp.where(better, zero, hit.u),
+                 v=jnp.where(better, zero, hit.v),
+                 tri=jnp.where(better, 0, hit.tri))
+    return merged, mslots
 
 
 def sorted_slots_full_soa(scene: sd.SceneData, ro: V3, rd: V3, settings):
@@ -628,7 +708,7 @@ def refractive_indices_soa(scene: sd.SceneData, slots, hit_idx, depth=8):
 
 
 def refractive_indices_direct(scene: sd.SceneData, ro: V3, rd: V3,
-                              t_hit, hit_prim, settings):
+                              t_hit, hit_prim, settings, member_slots=None):
     """n1/n2 without any sorted slot list (non-CSG scenes).
 
     Equivalent to the containers walk (intersection.rs:61-92): a prim is
@@ -667,16 +747,15 @@ def refractive_indices_direct(scene: sd.SceneData, ro: V3, rd: V3,
     best_prim_s = jnp.zeros(R, jnp.int32)
     best_t_l = jnp.full(R, neg, dtype)
     best_prim_l = jnp.zeros(R, jnp.int32)
-    for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
-                                          scene.prim_rows_static)):
-        if kind == sd.TRIANGLE:
-            continue
-        slots = _leaf_slots(scene, kind, row, ro, rd)
+    def accumulate(pid, slot_list):
+        """Fold one prim's crossings (list of (t, valid)) into both the
+        strict (n1) and loose (n2) innermost-container candidates."""
+        nonlocal best_t_s, best_prim_s, best_t_l, best_prim_l
         cnt_s = jnp.zeros(R, jnp.int32)
         last_s = jnp.full(R, neg, dtype)
         cnt_l = jnp.zeros(R, jnp.int32)
         last_l = jnp.full(R, neg, dtype)
-        for t, valid in slots:
+        for t, valid in slot_list:
             is_hit = (hit_prim == pid) & (jnp.abs(t - t_hit) <= tol)
             before = valid & (t < t_hit)
             in_s = before & ~is_hit
@@ -689,6 +768,23 @@ def refractive_indices_direct(scene: sd.SceneData, ro: V3, rd: V3,
                                      (cnt_s % 2) == 1, pid)
         best_t_l, best_prim_l = fold(best_t_l, best_prim_l, last_l,
                                      (cnt_l % 2) == 1, pid)
+
+    for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
+                                          scene.prim_rows_static)):
+        if kind == sd.TRIANGLE:
+            continue
+        if member_slots is not None and _is_member(scene, pid):
+            continue  # counted below from the CSG-filtered slots
+        accumulate(pid, _leaf_slots(scene, kind, row, ro, rd))
+
+    if member_slots is not None:
+        # CSG operands toggle containers only through slots that SURVIVE
+        # the CSG filter (the reference's xs holds filtered CSG output).
+        mt, mprim, mvalid = member_slots[:3]
+        for pid in member_pids(scene):
+            slot_list = [(mt[k], mvalid[k] & (mprim[k] == pid))
+                         for k in range(mt.shape[0])]
+            accumulate(pid, slot_list)
 
     T = scene.counts[6]
     if T:
@@ -738,6 +834,17 @@ def refractive_indices_direct(scene: sd.SceneData, ro: V3, rd: V3,
     return to_ior(best_t_s, best_prim_s), to_ior(best_t_l, best_prim_l)
 
 
+def any_hit_hybrid(scene: sd.SceneData, ro: V3, rd: V3, distance, settings):
+    """Shadow test for CSG scenes whose operands are all analytic: fast
+    any-hit over non-member prims + meshes, OR'd with any surviving
+    CSG-filtered member slot in range (scene.rs:234-245 semantics —
+    the scene's intersection list holds the CSG's *filtered* output)."""
+    hit = any_hit_soa(scene, ro, rd, distance, settings, skip_members=True)
+    slots = apply_csg_soa(scene, sorted_member_slots(scene, ro, rd))
+    t, _, valid = slots[:3]
+    return hit | jnp.any(valid & (t >= 0.0) & (t < distance[None]), axis=0)
+
+
 def any_hit_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, distance,
                        settings=None):
     """Shadow test honoring CSG filtering (scene.rs:234-245)."""
@@ -750,11 +857,15 @@ def any_hit_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, distance,
     return jnp.any(valid & (t >= 0.0) & (t < distance[None, :]), axis=0)
 
 
-def any_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, distance, settings):
+def any_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, distance, settings,
+                skip_members: bool = False):
     """Shadow test: any hit with 0 <= t < distance (scene.rs:234-245)."""
     hit = jnp.zeros(ro.x.shape, bool)
-    for kind, row in zip(scene.prim_kinds, scene.prim_rows_static):
+    for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
+                                          scene.prim_rows_static)):
         if kind == sd.TRIANGLE:
+            continue
+        if skip_members and _is_member(scene, pid):
             continue
         for t, valid in _leaf_slots(scene, kind, row, ro, rd):
             hit = hit | (valid & (t >= 0.0) & (t < distance))

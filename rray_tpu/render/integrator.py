@@ -44,6 +44,8 @@ from .camera import CameraData, all_rays, all_rays_soa
 
 def _shadow_test_soa(scene, over: V3, direction: V3, dist, settings):
     if scene.csg_ops:
+        if soa.csg_members_analytic(scene):
+            return soa.any_hit_hybrid(scene, over, direction, dist, settings)
         return soa.any_hit_sorted_soa(scene, over, direction, dist, settings)
     return soa.any_hit_soa(scene, over, direction, dist, settings)
 
@@ -206,8 +208,18 @@ def _sorted_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
     """
     dtype = ro.dtype
     eps = offset_eps(dtype)
-    if scene.csg_ops:
-        # CSG filtering consumes the ordered slot list.
+    member_slots = None
+    if scene.csg_ops and soa.csg_members_analytic(scene):
+        # Hybrid CSG path: only CSG-operand slots need sorting/filtering
+        # (non-member slots never toggle the filter state and are always
+        # kept — csg.rs:177-195); everything else rides the fast
+        # masked-min path, incl. meshes outside any CSG.
+        hit, member_slots = soa.closest_hit_hybrid(scene, ro, rd, settings)
+        slots = None
+        found, t, prim = hit.found, hit.t, hit.prim
+        zero = jnp.zeros_like(t)
+    elif scene.csg_ops:
+        # Mesh inside a CSG: full ordered slot list.
         if scene.counts[6]:
             slots = soa.sorted_slots_full_soa(scene, ro, rd, settings)
         else:
@@ -247,7 +259,8 @@ def _sorted_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
                                             settings.containers_depth)
     elif scene.has_transparent:
         n1, n2 = soa.refractive_indices_direct(
-            scene, ro, rd, jnp.where(found, t, -1.0), prim, settings)
+            scene, ro, rd, jnp.where(found, t, -1.0), prim, settings,
+            member_slots=member_slots)
     else:
         n1 = n2 = jnp.ones_like(t)
 

@@ -263,6 +263,9 @@ class SceneData:
     # Static copies of prim_type/prim_row (SoA path unrolls over leaves).
     prim_kinds: Tuple[int, ...]
     prim_rows_static: Tuple[int, ...]
+    # Per-prim: is the leaf an operand of any CSG node? (static, so the
+    # integrator can restrict sorted-slot work to member prims only).
+    csg_member_static: Tuple[bool, ...] = ()
 
 
 _register(SceneData,
@@ -279,7 +282,8 @@ _register(SceneData,
               "csg_side", "lights", "patterns",
           ),
           meta_fields=("csg_ops", "has_reflective", "has_transparent",
-                       "counts", "prim_kinds", "prim_rows_static"))
+                       "counts", "prim_kinds", "prim_rows_static",
+                       "csg_member_static"))
 
 
 # --------------------------------------------------------------------------
@@ -579,6 +583,8 @@ def compile_scene(objects, lights, dtype=None) -> SceneData:
                 int(con_prim.shape[0]), int(tor_prim.shape[0]), T, P),
         prim_kinds=tuple(int(t) for t in prim_type),
         prim_rows_static=tuple(int(r) for r in prim_row),
+        csg_member_static=tuple(bool(csg_side[:, p].any()) if C else False
+                                for p in range(P)),
     )
 
 

@@ -59,7 +59,7 @@ def main(which):
     if "2" in which:  # glass, 5-bounce wavefront
         scene, cam = load(os.path.join(ex, "glass.yaml"), 800, 600, f32)
         bench_scene("config2_glass", scene, cam,
-                    RenderSettings(rows_per_tile=75, max_hits=16,
+                    RenderSettings(rows_per_tile=150, max_hits=16,
                                    containers_depth=4))
     if "3" in which:  # area light soft shadows + AA3
         scene, cam = load(os.path.join(ex, "area_light.yaml"), 800 * 3,

@@ -113,8 +113,10 @@ def test_transparent_mesh_sorted_soa_matches_aos():
     cam_h = Camera(24, 16, np.pi / 3)
     cam_h.transform = mu.view_transform([0, 1.5, -4], [0, 0.7, 0], [0, 1, 0])
     cam = compile_camera(cam_h, jnp.float64)
+    # Full wavefront capacity: this is a machinery A/B (SoA vs AoS), so
+    # the compact path must not drop any weight-tail paths.
     st = RenderSettings(rows_per_tile=16, max_hits=8, containers_depth=4,
-                        depth=3, tri_chunk=64)
+                        depth=3, tri_chunk=64, wavefront_capacity=8)
     ro, rd = all_rays(cam)
     key = jax.random.PRNGKey(0)
     a = np.asarray(I._color_at_sorted(scene, ro, rd, 3, st, key))

@@ -61,6 +61,10 @@ class RenderSettings:
     # Pallas triangle kernel: "auto" (TPU + float32), "on", "off", or
     # "interpret" (debugging on CPU).
     pallas: str = "auto"
+    # Meshes with at least this many triangles traverse the BVH kernel
+    # (HBM-streamed leaves); smaller ones use the VMEM-resident
+    # linear-chunk kernel, whose fixed cost is lower.
+    bvh_min_tris: int = 1024
     # Whitted wavefront implementation: "compact" (capacity-bounded
     # per-level live-ray compaction; default), "scan" (level-synchronous,
     # fixed 2^depth width), or "unrolled" (one body per depth level —

@@ -1,0 +1,294 @@
+"""Pallas TPU kernel: BVH-guided Möller–Trumbore over large meshes.
+
+Replaces the reference's linear group scan (group.rs:80-91) — and this
+repo's earlier linear chunk loop — with a real bounding-volume
+hierarchy:
+
+* **Host build** (in-graph, O(T)): triangles are already Morton-ordered
+  along their world centroids (scene/data.py), so contiguous runs of
+  `chunk` triangles are spatially tight leaves. The tree is the implicit
+  complete binary heap over the power-of-two-padded leaf list (an LBVH
+  over the Morton order): node i's children are 2i/2i+1, leaves are
+  nodes [Lp, 2Lp), and AABBs are unioned bottom-up. Padded leaves carry
+  inverted boxes that never pass a slab test.
+* **Kernel traversal** (block-synchronous): each program owns a block of
+  BR rays and walks the heap with an SMEM stack. A node is entered iff
+  ANY ray in the block passes its slab test with entry closer than the
+  ray's current best t — rays in a block are spatially coherent (tiled
+  pixels), so dead subtrees drop for the whole block at once. Leaf
+  triangle data lives in **HBM** (memory_space ANY) and is DMA'd into a
+  VMEM scratch buffer per visited leaf, so mesh size is bounded by HBM,
+  not VMEM (the previous kernel held the whole mesh in VMEM).
+
+Intersection semantics match triangle.rs:72-94 (Möller–Trumbore,
+EPSILON determinant cutoff, t >= 0 closest hit); ties resolve to the
+lowest triangle index like the stable sort + first-hit rule
+(scene.rs:97-136) because leaves are visited in index order and a
+strict `<` keeps the earlier winner.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EPSILON
+
+BR = 512          # rays per program (block)
+LEAF = 256        # triangles per leaf (lane-aligned)
+STACK = 64        # traversal stack bound (>= tree depth + 1)
+
+_INF = float("inf")
+_FAR = 1e30
+
+
+def tree_sizes(T: int, leaf: int = LEAF):
+    """(n_leaves padded to pow2, padded triangle count) for a T-tri mesh."""
+    L = -(-T // leaf)
+    Lp = 1
+    while Lp < L:
+        Lp *= 2
+    return Lp, Lp * leaf
+
+
+def build_tree(p1, e1, e2, leaf: int = LEAF):
+    """Implicit-heap BVH over Morton-ordered triangles (in-graph, jnp).
+
+    p1/e1/e2: 3-tuples of [T] component arrays (SoA). Returns
+    (packed [9, Tp] f32 triangle table, 6 node-box arrays each [2*Lp],
+    Lp). Node 0 is unused; real leaves have tight boxes, padding leaves
+    inverted (+inf/-inf) boxes.
+    """
+    T = p1[0].shape[0]
+    Lp, Tp = tree_sizes(T, leaf)
+    pad = Tp - T
+
+    comps = []
+    for j in range(3):
+        comps.append(jnp.concatenate(
+            [p1[j].astype(jnp.float32), jnp.full((pad,), _FAR, jnp.float32)]))
+    for src in (e1, e2):
+        for j in range(3):
+            comps.append(jnp.concatenate(
+                [src[j].astype(jnp.float32), jnp.zeros((pad,), jnp.float32)]))
+    # 16 rows (9 live + 7 zero): DMA slices must be 8-row aligned on the
+    # sublane axis, and 9 is not.
+    comps += [jnp.zeros((Tp,), jnp.float32)] * 7
+    packed = jnp.stack(comps, axis=0)  # [16, Tp]
+
+    # Leaf AABBs over the three vertices; padding tris sit at _FAR with
+    # zero extent, so padded leaves (and mixed tails) stay finite but
+    # far away — fully-padded leaves get inverted boxes below.
+    lo, hi = [], []
+    live = (jnp.arange(Tp) < T).reshape(Lp, leaf)
+    any_live = live.any(axis=1)
+    for j in range(3):
+        v1 = packed[j].reshape(Lp, leaf)
+        v2 = v1 + packed[3 + j].reshape(Lp, leaf)
+        v3 = v1 + packed[6 + j].reshape(Lp, leaf)
+        mn = jnp.where(live, jnp.minimum(jnp.minimum(v1, v2), v3), _INF)
+        mx = jnp.where(live, jnp.maximum(jnp.maximum(v1, v2), v3), -_INF)
+        lo.append(jnp.where(any_live, mn.min(axis=1), _INF))
+        hi.append(jnp.where(any_live, mx.max(axis=1), -_INF))
+
+    # Bottom-up union into the heap: levels are static (Lp is static).
+    nodes_lo = [None] * 3
+    nodes_hi = [None] * 3
+    for j in range(3):
+        levels_lo = [lo[j]]
+        levels_hi = [hi[j]]
+        while levels_lo[0].shape[0] > 1:
+            cur_lo, cur_hi = levels_lo[0], levels_hi[0]
+            levels_lo.insert(0, jnp.minimum(cur_lo[0::2], cur_lo[1::2]))
+            levels_hi.insert(0, jnp.maximum(cur_hi[0::2], cur_hi[1::2]))
+        # Heap layout: [unused root-0 slot, level0 (root=node 1), ...].
+        nodes_lo[j] = jnp.concatenate(
+            [jnp.full((1,), _INF, jnp.float32)] + levels_lo)
+        nodes_hi[j] = jnp.concatenate(
+            [jnp.full((1,), -_INF, jnp.float32)] + levels_hi)
+    return packed, nodes_lo, nodes_hi, Lp
+
+
+def _traverse_kernel(Lp, leaf, any_hit,
+                     rox, roy, roz, rdx, rdy, rdz, dist,
+                     boxes, tri_hbm, t_ref, u_ref, v_ref, idx_ref,
+                     tri_vmem, sem, stack):
+    ox = rox[0, :][:, None]
+    oy = roy[0, :][:, None]
+    oz = roz[0, :][:, None]
+    dx = rdx[0, :][:, None]
+    dy = rdy[0, :][:, None]
+    dz = rdz[0, :][:, None]
+
+    def inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                               jnp.where(d < 0, -1e-30, 1e-30), d)
+
+    ix, iy, iz = inv(dx[:, 0]), inv(dy[:, 0]), inv(dz[:, 0])
+    rx0, ry0, rz0 = ox[:, 0], oy[:, 0], oz[:, 0]
+    R = rx0.shape[0]
+    limit = dist[0, :]  # any-hit range (closest-hit passes +inf)
+
+    def mt_leaf(ci, carry):
+        """DMA leaf ci's triangles HBM->VMEM, fold its closest hits."""
+        bt, bu, bv, bi = carry
+        dma = pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(ci * leaf, leaf)], tri_vmem, sem)
+        dma.start()
+        dma.wait()
+        tp1x = tri_vmem[0, :][None, :]
+        tp1y = tri_vmem[1, :][None, :]
+        tp1z = tri_vmem[2, :][None, :]
+        te1x = tri_vmem[3, :][None, :]
+        te1y = tri_vmem[4, :][None, :]
+        te1z = tri_vmem[5, :][None, :]
+        te2x = tri_vmem[6, :][None, :]
+        te2y = tri_vmem[7, :][None, :]
+        te2z = tri_vmem[8, :][None, :]
+
+        cx = dy * te2z - dz * te2y
+        cy = dz * te2x - dx * te2z
+        cz = dx * te2y - dy * te2x
+        det = te1x * cx + te1y * cy + te1z * cz
+        ok = jnp.abs(det) >= EPSILON
+        f = 1.0 / jnp.where(ok, det, 1.0)
+        sx = ox - tp1x
+        sy = oy - tp1y
+        sz = oz - tp1z
+        uu = f * (sx * cx + sy * cy + sz * cz)
+        ok = ok & (uu >= 0.0) & (uu <= 1.0)
+        qx = sy * te1z - sz * te1y
+        qy = sz * te1x - sx * te1z
+        qz = sx * te1y - sy * te1x
+        vv = f * (dx * qx + dy * qy + dz * qz)
+        ok = ok & (vv >= 0.0) & (uu + vv <= 1.0)
+        tt = f * (te2x * qx + te2y * qy + te2z * qz)
+        ok = ok & (tt >= 0.0)
+        tt = jnp.where(ok, tt, _INF)
+
+        local = jnp.argmin(tt, axis=1).astype(jnp.int32)
+        ct = jnp.min(tt, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+        onehot = col == local[:, None]
+        take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=1)
+        better = ct < bt
+        return (jnp.where(better, ct, bt),
+                jnp.where(better, take(uu), bu),
+                jnp.where(better, take(vv), bv),
+                jnp.where(better, ci * leaf + local, bi))
+
+    def cond(c):
+        sp = c[0]
+        if any_hit:
+            # limit <= 0 marks padding rays as already satisfied so they
+            # can't block the block-level early exit.
+            return (sp > 0) & ~jnp.all((c[1] < limit) | (limit <= 0.0))
+        return sp > 0
+
+    def step(c):
+        sp, bt, bu, bv, bi = c
+        n = stack[sp - 1]
+        sp = sp - 1
+        # Node boxes live in SMEM: dynamic scalar reads are legal there
+        # (Mosaic can't prove 128-alignment for dynamic VMEM loads).
+        lox, loy, loz = boxes[0, n], boxes[1, n], boxes[2, n]
+        hix, hiy, hiz = boxes[3, n], boxes[4, n], boxes[5, n]
+        tx1 = (lox - rx0) * ix
+        tx2 = (hix - rx0) * ix
+        ty1 = (loy - ry0) * iy
+        ty2 = (hiy - ry0) * iy
+        tz1 = (loz - rz0) * iz
+        tz2 = (hiz - rz0) * iz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                       jnp.minimum(ty1, ty2)),
+                           jnp.minimum(tz1, tz2))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                       jnp.maximum(ty1, ty2)),
+                           jnp.maximum(tz1, tz2))
+        enter = (tmin <= tmax) & (tmax >= 0.0) & (tmin < jnp.minimum(bt, limit))
+        enter_any = jnp.any(enter)
+        is_leaf = n >= Lp
+
+        @pl.when(enter_any & ~is_leaf)
+        def _():
+            # Push right child first so the left (lower-Morton) child is
+            # popped first — preserves index-order tie-breaking.
+            stack[sp] = 2 * n + 1
+            stack[sp + 1] = 2 * n
+
+        sp = sp + jnp.where(enter_any & ~is_leaf, 2, 0)
+        carry = jax.lax.cond(enter_any & is_leaf,
+                             lambda cc: mt_leaf(n - Lp, cc),
+                             lambda cc: cc, (bt, bu, bv, bi))
+        return (sp,) + carry
+
+    stack[0] = 1
+    init = (jnp.asarray(1, jnp.int32),
+            jnp.full((R,), _INF, jnp.float32),
+            jnp.zeros((R,), jnp.float32),
+            jnp.zeros((R,), jnp.float32),
+            jnp.zeros((R,), jnp.int32))
+    _, bt, bu, bv, bi = jax.lax.while_loop(cond, step, init)
+    t_ref[0, :] = bt
+    u_ref[0, :] = bu
+    v_ref[0, :] = bv
+    idx_ref[0, :] = bi
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("leaf", "any_hit", "interpret"))
+def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None,
+                         leaf: int = LEAF, any_hit: bool = False,
+                         interpret: bool = False):
+    """BVH closest-hit (or bounded any-hit) over triangles.
+
+    ro/rd_comps: 3-tuples of [R] f32 (R a multiple of BR); tri_comps:
+    9-tuple of [T] f32 (p1xyz, e1xyz, e2xyz) in Morton order. `dist`
+    ([R], optional) bounds the search for shadow rays; with
+    any_hit=True traversal stops once every ray in the block has a hit
+    inside `dist`. Returns (t, u, v, tri_index); misses carry t=+inf.
+    """
+    R = ro_comps[0].shape[0]
+    assert R % BR == 0, R
+    packed, nlo, nhi, Lp = build_tree(tri_comps[0:3], tri_comps[3:6],
+                                      tri_comps[6:9], leaf)
+    NN = 2 * Lp
+    if dist is None:
+        dist = jnp.full((R,), _INF, jnp.float32)
+
+    grid = (R // BR,)
+    ray_spec = pl.BlockSpec((1, BR), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    box_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, BR), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    args = [c.reshape(1, R) for c in (*ro_comps, *rd_comps)]
+    args.append(dist.astype(jnp.float32).reshape(1, R))
+    args.append(jnp.stack([*nlo, *nhi], axis=0))  # [6, NN] -> SMEM
+    args.append(packed)
+
+    outs = pl.pallas_call(
+        functools.partial(_traverse_kernel, Lp, leaf, any_hit),
+        grid=grid,
+        in_specs=[ray_spec] * 7 + [box_spec]
+        + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((16, leaf), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((STACK,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*args)
+    t, u, v, idx = (o.reshape(R) for o in outs)
+    return t, u, v, idx

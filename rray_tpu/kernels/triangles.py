@@ -49,8 +49,7 @@ def chunk_size(T: int) -> int:
 
 def _kernel(chunk, rox, roy, roz, rdx, rdy, rdz,
             p1x, p1y, p1z, e1x, e1y, e1z, e2x, e2y, e2z,
-            blox, bloy, bloz, bhix, bhiy, bhiz,
-            t_ref, u_ref, v_ref, idx_ref):
+            boxes, t_ref, u_ref, v_ref, idx_ref):
     T = p1x.shape[1]
     n_chunks = T // chunk
 
@@ -116,8 +115,11 @@ def _kernel(chunk, rox, roy, roz, rdx, rdy, rdz,
     def body(c, carry):
         # Block-level cull: does any ray in this block enter chunk c's box
         # before the block's current worst best-t?
-        lox, loy, loz = blox[0, c], bloy[0, c], bloz[0, c]
-        hix, hiy, hiz = bhix[0, c], bhiy[0, c], bhiz[0, c]
+        # Chunk boxes live in SMEM: dynamic scalar reads are legal there
+        # (a dynamic VMEM load fails Mosaic's 128-alignment proof as soon
+        # as n_chunks > 1).
+        lox, loy, loz = boxes[0, c], boxes[1, c], boxes[2, c]
+        hix, hiy, hiz = boxes[3, c], boxes[4, c], boxes[5, c]
         rx0 = ox[:, 0]
         ry0 = oy[:, 0]
         rz0 = oz[:, 0]
@@ -182,20 +184,19 @@ def closest_triangle(ro_comps, rd_comps, tri_comps, interpret: bool = False):
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec((1, T), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    box_spec = pl.BlockSpec((1, n_chunks), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+    box_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((1, BR), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     args = [c.reshape(1, R) for c in (*ro_comps, *rd_comps)]
     args += [c.reshape(1, T) for c in tri_comps]
-    args += [c.reshape(1, n_chunks) for c in aabb]
+    args.append(jnp.stack(aabb, axis=0))  # [6, n_chunks] -> SMEM
 
     import functools as _ft
     outs = pl.pallas_call(
         _ft.partial(_kernel, chunk),
         grid=grid,
-        in_specs=[ray_spec] * 6 + [tri_spec] * 9 + [box_spec] * 6,
+        in_specs=[ray_spec] * 6 + [tri_spec] * 9 + [box_spec],
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         out_shape=(
             jax.ShapeDtypeStruct((1, R), jnp.float32),

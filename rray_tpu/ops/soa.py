@@ -245,31 +245,54 @@ def _use_pallas(settings, dtype) -> bool:
     return False
 
 
-def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings):
-    """Closest triangle hit via the fused Pallas kernel (t,u,v,prim,tri)."""
+def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings,
+                          distance=None, any_hit: bool = False):
+    """Closest (or bounded any-) triangle hit via a fused Pallas kernel
+    -> (t, u, v, prim, tri).
+
+    Meshes with >= settings.bvh_min_tris triangles traverse the implicit
+    LBVH (`kernels/bvh.py` — leaf data DMA'd from HBM, so mesh size is
+    HBM-bounded); smaller ones use the VMEM-resident linear-chunk kernel
+    (`kernels/triangles.py`, lower fixed cost). `distance` ([R]) bounds
+    the search for shadow rays; with any_hit=True the BVH stops a ray
+    block as soon as every ray has a hit inside `distance`.
+    """
+    from ..kernels import bvh as kbvh
     from ..kernels import triangles as ktri
 
     T = scene.counts[6]
     R = ro.x.shape[0]
     interpret = getattr(settings, "pallas", "off") == "interpret"
+    use_bvh = T >= getattr(settings, "bvh_min_tris", 1024)
     padR = (-R) % ktri.BR
-    padT = (-T) % ktri.chunk_size(T)
 
-    def padr(c):
-        return jnp.pad(c, (0, padR)) if padR else c
-
-    def padt(c, fill=0.0):
-        return jnp.pad(c, (0, padT), constant_values=fill) if padT else c
+    def padr(c, fill=0.0):
+        return jnp.pad(c, (0, padR), constant_values=fill) if padR else c
 
     ro_c = (padr(ro.x), padr(ro.y), padr(ro.z))
     rd_c = (padr(rd.x), padr(rd.y), padr(rd.z))
-    # Pad p1 far away (zero edges) so padded chunks cull cleanly.
-    tri_c = tuple(padt(tbl[:, j], fill=(ktri._FAR if k == 0 else 0.0))
-                  for k, tbl in enumerate((scene.tri_p1, scene.tri_e1,
-                                           scene.tri_e2))
-                  for j in range(3))
-    t, u, v, idx = ktri.closest_triangle(ro_c, rd_c, tri_c,
-                                         interpret=interpret)
+    if use_bvh:
+        tri_c = tuple(tbl[:, j] for tbl in (scene.tri_p1, scene.tri_e1,
+                                            scene.tri_e2) for j in range(3))
+        # Padding rays carry dist 0: the any-hit kernel treats them as
+        # already satisfied so they don't block block-level early exit.
+        dist = None if distance is None else padr(distance, 0.0)
+        t, u, v, idx = kbvh.bvh_closest_triangle(ro_c, rd_c, tri_c,
+                                                 dist=dist, any_hit=any_hit,
+                                                 interpret=interpret)
+    else:
+        padT = (-T) % ktri.chunk_size(T)
+
+        def padt(c, fill=0.0):
+            return jnp.pad(c, (0, padT), constant_values=fill) if padT else c
+
+        # Pad p1 far away (zero edges) so padded chunks cull cleanly.
+        tri_c = tuple(padt(tbl[:, j], fill=(ktri._FAR if k == 0 else 0.0))
+                      for k, tbl in enumerate((scene.tri_p1, scene.tri_e1,
+                                               scene.tri_e2))
+                      for j in range(3))
+        t, u, v, idx = ktri.closest_triangle(ro_c, rd_c, tri_c,
+                                             interpret=interpret)
     t, u, v, idx = t[:R], u[:R], v[:R], idx[:R]
     idx = jnp.minimum(idx, T - 1)
     prim = jnp.take(scene.tri_prim, idx)
@@ -872,7 +895,9 @@ def any_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, distance, settings,
 
     T = scene.counts[6]
     if T and _use_pallas(settings, ro.dtype):
-        ct, _, _, _, _ = _pallas_triangle_best(scene, ro, rd, settings)
+        ct, _, _, _, _ = _pallas_triangle_best(scene, ro, rd, settings,
+                                               distance=distance,
+                                               any_hit=True)
         hit = hit | (ct < distance)
     elif T:
         n_chunks, chunk, p1, e1, e2, pid, live = _tri_chunks(

@@ -54,12 +54,14 @@ def tree_sizes(T: int, leaf: int = LEAF):
     return Lp, Lp * leaf
 
 
-def build_tree(p1, e1, e2, leaf: int = LEAF):
+def build_tree(p1, e1, e2, normals=None, leaf: int = LEAF):
     """Implicit-heap BVH over Morton-ordered triangles (in-graph, jnp).
 
-    p1/e1/e2: 3-tuples of [T] component arrays (SoA). Returns
-    (packed [9, Tp] f32 triangle table, 6 node-box arrays each [2*Lp],
-    Lp). Node 0 is unused; real leaves have tight boxes, padding leaves
+    p1/e1/e2: 3-tuples of [T] component arrays (SoA); `normals` an
+    optional 9-tuple (n1xyz, n2xyz, n3xyz) packed alongside so traversal
+    can interpolate the winning normal in-kernel. Returns (packed
+    [16|24, Tp] f32 triangle table, 6 node-box arrays each [2*Lp], Lp).
+    Node 0 is unused; real leaves have tight boxes, padding leaves
     inverted (+inf/-inf) boxes.
     """
     T = p1[0].shape[0]
@@ -70,14 +72,15 @@ def build_tree(p1, e1, e2, leaf: int = LEAF):
     for j in range(3):
         comps.append(jnp.concatenate(
             [p1[j].astype(jnp.float32), jnp.full((pad,), _FAR, jnp.float32)]))
-    for src in (e1, e2):
+    for src in (e1, e2) + ((tuple(normals[i:i + 3] for i in (0, 3, 6)))
+                           if normals else ()):
         for j in range(3):
             comps.append(jnp.concatenate(
                 [src[j].astype(jnp.float32), jnp.zeros((pad,), jnp.float32)]))
-    # 16 rows (9 live + 7 zero): DMA slices must be 8-row aligned on the
-    # sublane axis, and 9 is not.
-    comps += [jnp.zeros((Tp,), jnp.float32)] * 7
-    packed = jnp.stack(comps, axis=0)  # [16, Tp]
+    # Pad the row count to a multiple of 8 (DMA slices must be 8-row
+    # aligned on the sublane axis): 9 -> 16, 18 -> 24.
+    comps += [jnp.zeros((Tp,), jnp.float32)] * (-len(comps) % 8)
+    packed = jnp.stack(comps, axis=0)  # [16|24, Tp]
 
     # Leaf AABBs over the three vertices; padding tris sit at _FAR with
     # zero extent, so padded leaves (and mixed tails) stay finite but
@@ -112,10 +115,14 @@ def build_tree(p1, e1, e2, leaf: int = LEAF):
     return packed, nodes_lo, nodes_hi, Lp
 
 
-def _traverse_kernel(Lp, leaf, any_hit,
+def _traverse_kernel(Lp, leaf, any_hit, normals,
                      rox, roy, roz, rdx, rdy, rdz, dist,
-                     boxes, tri_hbm, t_ref, u_ref, v_ref, idx_ref,
-                     tri_vmem, sem, stack):
+                     boxes, tri_hbm, *refs):
+    if normals:
+        (t_ref, u_ref, v_ref, idx_ref, nx_ref, ny_ref, nz_ref,
+         tri_vmem, sem, stack) = refs
+    else:
+        t_ref, u_ref, v_ref, idx_ref, tri_vmem, sem, stack = refs
     ox = rox[0, :][:, None]
     oy = roy[0, :][:, None]
     oz = roz[0, :][:, None]
@@ -134,7 +141,7 @@ def _traverse_kernel(Lp, leaf, any_hit,
 
     def mt_leaf(ci, carry):
         """DMA leaf ci's triangles HBM->VMEM, fold its closest hits."""
-        bt, bu, bv, bi = carry
+        bt, bu, bv, bi = carry[:4]
         dma = pltpu.make_async_copy(
             tri_hbm.at[:, pl.ds(ci * leaf, leaf)], tri_vmem, sem)
         dma.start()
@@ -175,10 +182,25 @@ def _traverse_kernel(Lp, leaf, any_hit,
         onehot = col == local[:, None]
         take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=1)
         better = ct < bt
-        return (jnp.where(better, ct, bt),
-                jnp.where(better, take(uu), bu),
-                jnp.where(better, take(vv), bv),
-                jnp.where(better, ci * leaf + local, bi))
+        out = (jnp.where(better, ct, bt),
+               jnp.where(better, take(uu), bu),
+               jnp.where(better, take(vv), bv),
+               jnp.where(better, ci * leaf + local, bi))
+        if normals:
+            # Interpolated world vertex normal (rows 9-17), in-kernel:
+            # avoids per-ray table gathers downstream (flat triangles
+            # store n1=n2=n3=nflat, so one formula serves both).
+            wu = jnp.where(onehot, uu, 0.0)
+            wv = jnp.where(onehot, vv, 0.0)
+            w1 = jnp.where(onehot, 1.0 - uu - vv, 0.0)
+            nsel = lambda r: jnp.sum(
+                w1 * tri_vmem[9 + r, :][None, :]
+                + wu * tri_vmem[12 + r, :][None, :]
+                + wv * tri_vmem[15 + r, :][None, :], axis=1)
+            out += (jnp.where(better, nsel(0), carry[4]),
+                    jnp.where(better, nsel(1), carry[5]),
+                    jnp.where(better, nsel(2), carry[6]))
+        return out
 
     def cond(c):
         sp = c[0]
@@ -189,7 +211,7 @@ def _traverse_kernel(Lp, leaf, any_hit,
         return sp > 0
 
     def step(c):
-        sp, bt, bu, bv, bi = c
+        sp, bt = c[0], c[1]
         n = stack[sp - 1]
         sp = sp - 1
         # Node boxes live in SMEM: dynamic scalar reads are legal there
@@ -222,7 +244,7 @@ def _traverse_kernel(Lp, leaf, any_hit,
         sp = sp + jnp.where(enter_any & ~is_leaf, 2, 0)
         carry = jax.lax.cond(enter_any & is_leaf,
                              lambda cc: mt_leaf(n - Lp, cc),
-                             lambda cc: cc, (bt, bu, bv, bi))
+                             lambda cc: cc, c[1:])
         return (sp,) + carry
 
     stack[0] = 1
@@ -231,11 +253,17 @@ def _traverse_kernel(Lp, leaf, any_hit,
             jnp.zeros((R,), jnp.float32),
             jnp.zeros((R,), jnp.float32),
             jnp.zeros((R,), jnp.int32))
-    _, bt, bu, bv, bi = jax.lax.while_loop(cond, step, init)
-    t_ref[0, :] = bt
-    u_ref[0, :] = bu
-    v_ref[0, :] = bv
-    idx_ref[0, :] = bi
+    if normals:
+        init += (jnp.zeros((R,), jnp.float32),) * 3
+    out = jax.lax.while_loop(cond, step, init)
+    t_ref[0, :] = out[1]
+    u_ref[0, :] = out[2]
+    v_ref[0, :] = out[3]
+    idx_ref[0, :] = out[4]
+    if normals:
+        nx_ref[0, :] = out[5]
+        ny_ref[0, :] = out[6]
+        nz_ref[0, :] = out[7]
 
 
 @functools.partial(jax.jit,
@@ -253,8 +281,10 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None,
     """
     R = ro_comps[0].shape[0]
     assert R % BR == 0, R
-    packed, nlo, nhi, Lp = build_tree(tri_comps[0:3], tri_comps[3:6],
-                                      tri_comps[6:9], leaf)
+    normals = len(tri_comps) == 18
+    packed, nlo, nhi, Lp = build_tree(
+        tri_comps[0:3], tri_comps[3:6], tri_comps[6:9],
+        normals=tri_comps[9:18] if normals else None, leaf=leaf)
     NN = 2 * Lp
     if dist is None:
         dist = jnp.full((R,), _INF, jnp.float32)
@@ -271,24 +301,28 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None,
     args.append(jnp.stack([*nlo, *nhi], axis=0))  # [6, NN] -> SMEM
     args.append(packed)
 
+    n_out = 7 if normals else 4
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, R), jnp.float32),
+        jax.ShapeDtypeStruct((1, R), jnp.float32),
+        jax.ShapeDtypeStruct((1, R), jnp.float32),
+        jax.ShapeDtypeStruct((1, R), jnp.int32),
+    )
+    if normals:
+        out_shapes += (jax.ShapeDtypeStruct((1, R), jnp.float32),) * 3
+
     outs = pl.pallas_call(
-        functools.partial(_traverse_kernel, Lp, leaf, any_hit),
+        functools.partial(_traverse_kernel, Lp, leaf, any_hit, normals),
         grid=grid,
         in_specs=[ray_spec] * 7 + [box_spec]
         + [pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(out_spec, out_spec, out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, R), jnp.float32),
-            jax.ShapeDtypeStruct((1, R), jnp.float32),
-            jax.ShapeDtypeStruct((1, R), jnp.float32),
-            jax.ShapeDtypeStruct((1, R), jnp.int32),
-        ),
+        out_specs=(out_spec,) * n_out,
+        out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((16, leaf), jnp.float32),
+            pltpu.VMEM((packed.shape[0], leaf), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SMEM((STACK,), jnp.int32),
         ],
         interpret=interpret,
     )(*args)
-    t, u, v, idx = (o.reshape(R) for o in outs)
-    return t, u, v, idx
+    return tuple(o.reshape(R) for o in outs)

@@ -47,9 +47,17 @@ def chunk_size(T: int) -> int:
     return -(-T // CHUNK_ALIGN) * CHUNK_ALIGN
 
 
-def _kernel(chunk, rox, roy, roz, rdx, rdy, rdz,
-            p1x, p1y, p1z, e1x, e1y, e1z, e2x, e2y, e2z,
-            boxes, t_ref, u_ref, v_ref, idx_ref):
+def _kernel(chunk, normals, *refs):
+    if normals:
+        (rox, roy, roz, rdx, rdy, rdz,
+         p1x, p1y, p1z, e1x, e1y, e1z, e2x, e2y, e2z,
+         n1x, n1y, n1z, n2x, n2y, n2z, n3x, n3y, n3z,
+         boxes, t_ref, u_ref, v_ref, idx_ref,
+         nx_ref, ny_ref, nz_ref) = refs
+    else:
+        (rox, roy, roz, rdx, rdy, rdz,
+         p1x, p1y, p1z, e1x, e1y, e1z, e2x, e2y, e2z,
+         boxes, t_ref, u_ref, v_ref, idx_ref) = refs
     T = p1x.shape[1]
     n_chunks = T // chunk
 
@@ -68,7 +76,7 @@ def _kernel(chunk, rox, roy, roz, rdx, rdy, rdz,
     ix, iy, iz = inv(dx[:, 0]), inv(dy[:, 0]), inv(dz[:, 0])
 
     def mt_body(c, carry):
-        bt, bu, bv, bi = carry
+        bt, bu, bv, bi = carry[:4]
         s = pl.ds(c * chunk, chunk)
         te1x = e1x[0, s][None, :]
         te1y = e1y[0, s][None, :]
@@ -107,10 +115,26 @@ def _kernel(chunk, rox, roy, roz, rdx, rdy, rdz,
         onehot = col == local[:, None]
         take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=1)
         better = ct < bt
-        return (jnp.where(better, ct, bt),
-                jnp.where(better, take(uu), bu),
-                jnp.where(better, take(vv), bv),
-                jnp.where(better, c * chunk + local, bi))
+        out = (jnp.where(better, ct, bt),
+               jnp.where(better, take(uu), bu),
+               jnp.where(better, take(vv), bv),
+               jnp.where(better, c * chunk + local, bi))
+        if normals:
+            # Interpolate the winning triangle's (already world-space,
+            # nmat-transformed) vertex normals in-kernel: replaces 13
+            # per-ray table gathers (~1 elem/cycle on TPU) downstream.
+            # Flat triangles store n1=n2=n3=nflat, so one formula serves
+            # both (smooth_triangle.rs:99-101).
+            wu = jnp.where(onehot, uu, 0.0)
+            wv = jnp.where(onehot, vv, 0.0)
+            w1 = jnp.where(onehot, 1.0 - uu - vv, 0.0)
+            nsel = lambda a1, a2, a3: jnp.sum(
+                w1 * a1[0, s][None, :] + wu * a2[0, s][None, :]
+                + wv * a3[0, s][None, :], axis=1)
+            out += (jnp.where(better, nsel(n1x, n2x, n3x), carry[4]),
+                    jnp.where(better, nsel(n1y, n2y, n3y), carry[5]),
+                    jnp.where(better, nsel(n1z, n2z, n3z), carry[6]))
+        return out
 
     def body(c, carry):
         # Block-level cull: does any ray in this block enter chunk c's box
@@ -145,11 +169,17 @@ def _kernel(chunk, rox, roy, roz, rdx, rdy, rdz,
             jnp.zeros((R,), jnp.float32),
             jnp.zeros((R,), jnp.float32),
             jnp.zeros((R,), jnp.int32))
-    bt, bu, bv, bi = jax.lax.fori_loop(0, n_chunks, body, init)
-    t_ref[0, :] = bt
-    u_ref[0, :] = bu
-    v_ref[0, :] = bv
-    idx_ref[0, :] = bi
+    if normals:
+        init += (jnp.zeros((R,), jnp.float32),) * 3
+    out = jax.lax.fori_loop(0, n_chunks, body, init)
+    t_ref[0, :] = out[0]
+    u_ref[0, :] = out[1]
+    v_ref[0, :] = out[2]
+    idx_ref[0, :] = out[3]
+    if normals:
+        nx_ref[0, :] = out[4]
+        ny_ref[0, :] = out[5]
+        nz_ref[0, :] = out[6]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -157,12 +187,16 @@ def closest_triangle(ro_comps, rd_comps, tri_comps, interpret: bool = False):
     """Closest-hit over triangles.
 
     ro_comps/rd_comps: 3-tuples of [R] f32; tri_comps: 9-tuple of [T] f32
-    (p1xyz, e1xyz, e2xyz). R and T must be multiples of BR and CHUNK (pad
-    rays arbitrarily, triangles with _FAR p1 / zero edges). Returns
-    (t, u, v, tri_index) each [R]; misses carry t=+inf.
+    (p1xyz, e1xyz, e2xyz) — or an 18-tuple with vertex-normal components
+    (n1xyz, n2xyz, n3xyz) appended, in which case the winning triangle's
+    interpolated world normal is returned too. R and T must be multiples
+    of BR and CHUNK (pad rays arbitrarily, triangles with _FAR p1 / zero
+    edges). Returns (t, u, v, tri_index[, nx, ny, nz]) each [R]; misses
+    carry t=+inf.
     """
     R = ro_comps[0].shape[0]
     T = tri_comps[0].shape[0]
+    normals = len(tri_comps) == 18
     chunk = chunk_size(T)
     assert R % BR == 0 and T % chunk == 0, (R, T, chunk)
     n_chunks = T // chunk
@@ -192,19 +226,24 @@ def closest_triangle(ro_comps, rd_comps, tri_comps, interpret: bool = False):
     args += [c.reshape(1, T) for c in tri_comps]
     args.append(jnp.stack(aabb, axis=0))  # [6, n_chunks] -> SMEM
 
+    n_out = 7 if normals else 4
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, R), jnp.float32),
+        jax.ShapeDtypeStruct((1, R), jnp.float32),
+        jax.ShapeDtypeStruct((1, R), jnp.float32),
+        jax.ShapeDtypeStruct((1, R), jnp.int32),
+    )
+    if normals:
+        out_shapes += (jax.ShapeDtypeStruct((1, R), jnp.float32),) * 3
+
     import functools as _ft
     outs = pl.pallas_call(
-        _ft.partial(_kernel, chunk),
+        _ft.partial(_kernel, chunk, normals),
         grid=grid,
-        in_specs=[ray_spec] * 6 + [tri_spec] * 9 + [box_spec],
-        out_specs=(out_spec, out_spec, out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, R), jnp.float32),
-            jax.ShapeDtypeStruct((1, R), jnp.float32),
-            jax.ShapeDtypeStruct((1, R), jnp.float32),
-            jax.ShapeDtypeStruct((1, R), jnp.int32),
-        ),
+        in_specs=([ray_spec] * 6 + [tri_spec] * len(tri_comps)
+                  + [box_spec]),
+        out_specs=(out_spec,) * n_out,
+        out_shape=out_shapes,
         interpret=interpret,
     )(*args)
-    t, u, v, idx = (o.reshape(R) for o in outs)
-    return t, u, v, idx
+    return tuple(o.reshape(R) for o in outs)

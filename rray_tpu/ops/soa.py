@@ -37,10 +37,16 @@ class Hit:
     u: Any       # [R]
     v: Any       # [R]
     tri: Any     # [R] int32 (triangle row when prim is a triangle)
+    # Optional fast-path extras (None when the producer didn't compute
+    # them): shade-class id, and the triangle's interpolated world
+    # normal straight from the Pallas kernel (unnormalized).
+    cls: Any = None     # [R] int32
+    tri_n: Any = None   # (nx, ny, nz) each [R]
 
 
 jax.tree_util.register_dataclass(
-    Hit, data_fields=["found", "t", "prim", "u", "v", "tri"], meta_fields=[])
+    Hit, data_fields=["found", "t", "prim", "u", "v", "tri", "cls",
+                      "tri_n"], meta_fields=[])
 
 
 def _sphere_slots(o: V3, d: V3):
@@ -246,16 +252,20 @@ def _use_pallas(settings, dtype) -> bool:
 
 
 def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings,
-                          distance=None, any_hit: bool = False):
+                          distance=None, any_hit: bool = False,
+                          normals: bool = False):
     """Closest (or bounded any-) triangle hit via a fused Pallas kernel
-    -> (t, u, v, prim, tri).
+    -> (t, u, v, prim, tri[, cls, (nx, ny, nz)]).
 
     Meshes with >= settings.bvh_min_tris triangles traverse the implicit
     LBVH (`kernels/bvh.py` — leaf data DMA'd from HBM, so mesh size is
     HBM-bounded); smaller ones use the VMEM-resident linear-chunk kernel
     (`kernels/triangles.py`, lower fixed cost). `distance` ([R]) bounds
     the search for shadow rays; with any_hit=True the BVH stops a ray
-    block as soon as every ray has a hit inside `distance`.
+    block as soon as every ray has a hit inside `distance`. With
+    normals=True the kernel also interpolates the winning triangle's
+    world vertex normal and the shade class (both of which would
+    otherwise cost serial per-ray gathers downstream).
     """
     from ..kernels import bvh as kbvh
     from ..kernels import triangles as ktri
@@ -271,15 +281,16 @@ def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings,
 
     ro_c = (padr(ro.x), padr(ro.y), padr(ro.z))
     rd_c = (padr(rd.x), padr(rd.y), padr(rd.z))
+    geom = (scene.tri_p1, scene.tri_e1, scene.tri_e2)
+    ntabs = (scene.tri_n1, scene.tri_n2, scene.tri_n3) if normals else ()
     if use_bvh:
-        tri_c = tuple(tbl[:, j] for tbl in (scene.tri_p1, scene.tri_e1,
-                                            scene.tri_e2) for j in range(3))
+        tri_c = tuple(tbl[:, j] for tbl in geom + ntabs for j in range(3))
         # Padding rays carry dist 0: the any-hit kernel treats them as
         # already satisfied so they don't block block-level early exit.
         dist = None if distance is None else padr(distance, 0.0)
-        t, u, v, idx = kbvh.bvh_closest_triangle(ro_c, rd_c, tri_c,
-                                                 dist=dist, any_hit=any_hit,
-                                                 interpret=interpret)
+        outs = kbvh.bvh_closest_triangle(ro_c, rd_c, tri_c,
+                                         dist=dist, any_hit=any_hit,
+                                         interpret=interpret)
     else:
         padT = (-T) % ktri.chunk_size(T)
 
@@ -288,15 +299,17 @@ def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings,
 
         # Pad p1 far away (zero edges) so padded chunks cull cleanly.
         tri_c = tuple(padt(tbl[:, j], fill=(ktri._FAR if k == 0 else 0.0))
-                      for k, tbl in enumerate((scene.tri_p1, scene.tri_e1,
-                                               scene.tri_e2))
+                      for k, tbl in enumerate(geom + ntabs)
                       for j in range(3))
-        t, u, v, idx = ktri.closest_triangle(ro_c, rd_c, tri_c,
-                                             interpret=interpret)
-    t, u, v, idx = t[:R], u[:R], v[:R], idx[:R]
+        outs = ktri.closest_triangle(ro_c, rd_c, tri_c, interpret=interpret)
+    t, u, v, idx = (o[:R] for o in outs[:4])
     idx = jnp.minimum(idx, T - 1)
     prim = jnp.take(scene.tri_prim, idx)
-    return t, u, v, prim, idx
+    if not normals:
+        return t, u, v, prim, idx
+    cls = jnp.take(scene.tri_class, idx)
+    tri_n = tuple(o[:R] for o in outs[4:7])
+    return t, u, v, prim, idx, cls, tri_n
 
 
 def _is_member(scene: sd.SceneData, pid: int) -> bool:
@@ -329,6 +342,12 @@ def closest_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, settings,
     best_u = zero
     best_v = zero
     best_tri = jnp.zeros(R, jnp.int32)
+    best_cls = jnp.zeros(R, jnp.int32)
+    tri_n = None
+
+    # prim -> class mapping is static, so the analytic unrolled loop
+    # carries the class with scalar selects (no gather anywhere).
+    cls_static = scene.prim_class_static
 
     for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
                                           scene.prim_rows_static)):
@@ -341,18 +360,24 @@ def closest_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, settings,
             better = t < best_t
             best_t = jnp.where(better, t, best_t)
             best_prim = jnp.where(better, pid, best_prim)
+            best_cls = jnp.where(better, cls_static[pid], best_cls)
             best_u = jnp.where(better, zero, best_u)
             best_v = jnp.where(better, zero, best_v)
 
     T = scene.counts[6]
     if T and _use_pallas(settings, dtype):
-        ct, cu, cv, cp, ctri = _pallas_triangle_best(scene, ro, rd, settings)
+        ct, cu, cv, cp, ctri, ccls, cn = _pallas_triangle_best(
+            scene, ro, rd, settings, normals=True)
         better = ct < best_t
         best_t = jnp.where(better, ct, best_t)
         best_prim = jnp.where(better, cp, best_prim)
+        best_cls = jnp.where(better, ccls, best_cls)
         best_u = jnp.where(better, cu, best_u)
         best_v = jnp.where(better, cv, best_v)
         best_tri = jnp.where(better, ctri, best_tri)
+        # Where a triangle won, its kernel-interpolated normal; analytic
+        # winners are masked out downstream by type (zeros are safe).
+        tri_n = tuple(jnp.where(better, c, 0.0) for c in cn)
     elif T:
         n_chunks, chunk, p1, e1, e2, pid, live = _tri_chunks(
             scene, min(settings.tri_chunk, max(T, 1)))
@@ -384,8 +409,14 @@ def closest_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, settings,
             (best_t, best_prim, best_u, best_v, best_tri), _ = jax.lax.scan(
                 body, (best_t, best_prim, best_u, best_v, best_tri), xs)
 
+    if T and not _use_pallas(settings, dtype):
+        # XLA fallback (CPU oracle path): derive the class with a plain
+        # gather — cheap off-TPU, and tri_n stays None so normal_at uses
+        # the table interpolation.
+        best_cls = jnp.take(scene.prim_class, best_prim)
+
     return Hit(found=jnp.isfinite(best_t), t=best_t, prim=best_prim,
-               u=best_u, v=best_v, tri=best_tri)
+               u=best_u, v=best_v, tri=best_tri, cls=best_cls, tri_n=tri_n)
 
 
 # ---------------------------------------------------------------------------

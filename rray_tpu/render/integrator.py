@@ -86,25 +86,25 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
     return jnp.mean(shadowed.reshape(n, R).astype(dtype), axis=0)
 
 
-def _lighting_soa(scene, hit, base: V3, light, point: V3, eyev: V3,
+def _lighting_soa(scene, reader, base: V3, light, point: V3, eyev: V3,
                   normalv: V3, shadow_frac):
-    """Phong (light.rs:98-140)."""
-    from ..ops.vec import take_rows
-    take = lambda t: take_rows(t, hit.prim)
+    """Phong (light.rs:98-140). Material scalars come from the class
+    reader (one select-sum each, not per-prim gathers)."""
     li = light.intensity
     effective = V3(base.x * li[0], base.y * li[1], base.z * li[2])
     lightv = V3(light.position[0] - point.x, light.position[1] - point.y,
                 light.position[2] - point.z).normalize()
-    amb = take(scene.mat_ambient)
+    amb = reader.col(sd.CLS_AMBIENT)
     ambient = effective * amb
     ldn = lightv.dot(normalv)
     lit = ldn >= 0.0
-    dscale = jnp.where(lit, take(scene.mat_diffuse) * ldn, 0.0)
+    dscale = jnp.where(lit, reader.col(sd.CLS_DIFFUSE) * ldn, 0.0)
     reflectv = (-lightv).reflect(normalv)
     rde = reflectv.dot(eyev)
     spec_on = lit & (rde > 0.0)
-    factor = jnp.power(jnp.maximum(rde, 1e-30), take(scene.mat_shininess))
-    sscale = jnp.where(spec_on, take(scene.mat_specular) * factor, 0.0)
+    factor = jnp.power(jnp.maximum(rde, 1e-30),
+                       reader.col(sd.CLS_SHININESS))
+    sscale = jnp.where(spec_on, reader.col(sd.CLS_SPECULAR) * factor, 0.0)
     unshadow = 1.0 - shadow_frac
     return V3(
         ambient.x + (effective.x * dscale + li[0] * sscale) * unshadow,
@@ -126,9 +126,10 @@ def _fast_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
     point = ro + rd * t_safe
     eyev = -rd
 
-    aff = shade_soa.gathered_affine(scene.prim_inv, hit.prim)
+    reader = shade_soa.ClassReader(scene, hit.prim, cls=hit.cls)
+    aff = reader.affine_inv()
     lp = shade_soa.apply_gathered_point(aff, point)
-    normalv = shade_soa.normal_at(scene, hit, point, lp)
+    normalv = shade_soa.normal_at(scene, hit, point, lp, reader=reader)
     inside = normalv.dot(eyev) < 0.0
     flip = jnp.where(inside, -1.0, 1.0)
     normalv = normalv * flip
@@ -136,21 +137,20 @@ def _fast_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
 
     # Pattern is evaluated at over_point (scene.rs:165, light.rs:104).
     lp_over = shade_soa.apply_gathered_point(aff, over)
-    base = shade_soa.pattern_at(scene, hit, lp_over)
+    base = shade_soa.pattern_at(scene, hit, lp_over, reader=reader)
 
     surface = V3(jnp.zeros_like(point.x), jnp.zeros_like(point.x),
                  jnp.zeros_like(point.x))
     for li_i, light in enumerate(scene.lights):
         lk = jax.random.fold_in(key, 1000 + li_i)
         frac = _shadow_fraction_soa(scene, light, over, settings, lk)
-        surface = surface + _lighting_soa(scene, hit, base, light, over,
+        surface = surface + _lighting_soa(scene, reader, base, light, over,
                                           eyev, normalv, frac)
     surface = V3(jnp.where(found, surface.x, 0.0),
                  jnp.where(found, surface.y, 0.0),
                  jnp.where(found, surface.z, 0.0))
 
-    from ..ops.vec import take_rows
-    refl = jnp.where(found, take_rows(scene.mat_reflective, hit.prim), 0.0)
+    refl = jnp.where(found, reader.col(sd.CLS_REFLECTIVE), 0.0)
     return surface, over, rd.reflect(normalv), refl
 
 
@@ -246,9 +246,10 @@ def _sorted_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
     t_safe = jnp.where(found, t, 0.0)
     point = ro + rd * t_safe
     eyev = -rd
-    aff = shade_soa.gathered_affine(scene.prim_inv, prim)
+    reader = shade_soa.ClassReader(scene, prim, cls=hit.cls)
+    aff = reader.affine_inv()
     lp = shade_soa.apply_gathered_point(aff, point)
-    normalv = shade_soa.normal_at(scene, hit, point, lp)
+    normalv = shade_soa.normal_at(scene, hit, point, lp, reader=reader)
     inside = normalv.dot(eyev) < 0.0
     normalv = normalv * jnp.where(inside, -1.0, 1.0)
     over = point + normalv * eps
@@ -265,21 +266,19 @@ def _sorted_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
         n1 = n2 = jnp.ones_like(t)
 
     lp_over = shade_soa.apply_gathered_point(aff, over)
-    base = shade_soa.pattern_at(scene, hit, lp_over)
+    base = shade_soa.pattern_at(scene, hit, lp_over, reader=reader)
     surface = V3(zero, zero, zero)
     for li_i, light in enumerate(scene.lights):
         lk = jax.random.fold_in(key, 1000 + li_i)
         frac = _shadow_fraction_soa(scene, light, over, settings, lk)
-        surface = surface + _lighting_soa(scene, hit, base, light, over,
+        surface = surface + _lighting_soa(scene, reader, base, light, over,
                                           eyev, normalv, frac)
     surface = V3(jnp.where(found, surface.x, 0.0),
                  jnp.where(found, surface.y, 0.0),
                  jnp.where(found, surface.z, 0.0))
 
-    from ..ops.vec import take_rows
-    take = lambda tb: take_rows(tb, prim)
-    reflective = jnp.where(found, take(scene.mat_reflective), 0.0)
-    transparency = jnp.where(found, take(scene.mat_transparency), 0.0)
+    reflective = jnp.where(found, reader.col(sd.CLS_REFLECTIVE), 0.0)
+    transparency = jnp.where(found, reader.col(sd.CLS_TRANSPARENCY), 0.0)
 
     reflectv = rd.reflect(normalv)
     # Refraction direction + TIR (scene.rs:310-336).

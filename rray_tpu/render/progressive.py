@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RenderSettings
-from ..render.camera import CameraData, rays_for_pixels, rays_for_pixels_soa
+from ..render.camera import CameraData, rays_for_pixels_soa
 from ..render import integrator
 from ..scene import data as sd
 
@@ -37,13 +37,8 @@ def render_rows(scene: sd.SceneData, cam: CameraData, row_start: int,
                           jnp.arange(cam.hsize), indexing="ij")
     key = jax.random.fold_in(jax.random.PRNGKey(seed), row_start)
     node = integrator._soa_node_fn(scene)
-    if node is not None:
-        ro, rd = rays_for_pixels_soa(cam, xs.reshape(-1), ys.reshape(-1))
-        colors = node(scene, ro, rd, settings.depth, settings, key).to_array()
-    else:
-        ro, rd = rays_for_pixels(cam, xs.reshape(-1), ys.reshape(-1))
-        colors = integrator._color_at_sorted(scene, ro, rd, settings.depth,
-                                             settings, key)
+    ro, rd = rays_for_pixels_soa(cam, xs.reshape(-1), ys.reshape(-1))
+    colors = node(scene, ro, rd, settings.depth, settings, key).to_array()
     return colors.reshape(n_rows, cam.hsize, 3)
 
 

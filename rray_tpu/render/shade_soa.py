@@ -43,6 +43,52 @@ def gathered_affine(table, prim):
     return tuple(rows)
 
 
+class ClassReader:
+    """Per-hit shade-table reads over the [M] class domain.
+
+    TPU gathers emit ~1 element/cycle, so every `jnp.take(table, prim)`
+    on a 60k-ray tile cost ~60 us; a full shade did dozens of them
+    (measured ~73% of mesh-scene frame time). Here the hit's class id is
+    fetched with ONE gather ([R] over prim_class), and every subsequent
+    column read is an unrolled select-sum over the M classes — pure VPU
+    work, exact (no matmul rounding), and M is the number of distinct
+    scene objects (meshes count once), typically < 32.
+
+    Masks are built once per reader; columns are memoized."""
+
+    def __init__(self, scene, prim, cls=None):
+        self._tbl = scene.cls_table
+        self._M = max(scene.n_classes, 1)
+        if cls is None:
+            cls = _take(scene.prim_class, prim)
+        self._masks = [cls == m for m in range(self._M)]
+        self._cols = {}
+
+    def col(self, c):
+        """Column c gathered per ray -> [R] (scene dtype)."""
+        if c not in self._cols:
+            tbl = self._tbl
+            acc = jnp.where(self._masks[0], tbl[0, c],
+                            jnp.zeros((), tbl.dtype))
+            for m in range(1, self._M):
+                acc = jnp.where(self._masks[m], tbl[m, c], acc)
+            self._cols[c] = acc
+        return self._cols[c]
+
+    def icol(self, c):
+        return self.col(c).astype(jnp.int32)
+
+    def affine_inv(self):
+        """world->object affine as a 3x4 nested tuple of [R]."""
+        return tuple(tuple(self.col(sd.CLS_INV + 4 * i + j)
+                           for j in range(4)) for i in range(3))
+
+    def nmat(self):
+        """normal matrix as a 3x3 nested tuple of [R]."""
+        return tuple(tuple(self.col(sd.CLS_NMAT + 3 * i + j)
+                           for j in range(3)) for i in range(3))
+
+
 def apply_gathered_point(m, p: V3) -> V3:
     return V3(m[0][0] * p.x + m[0][1] * p.y + m[0][2] * p.z + m[0][3],
               m[1][0] * p.x + m[1][1] * p.y + m[1][2] * p.z + m[1][3],
@@ -61,21 +107,16 @@ def local_point(scene: sd.SceneData, prim, world_pt: V3) -> V3:
                                 world_pt)
 
 
-def _row_param(table, row):
-    if table.shape[0] == 0:
-        return jnp.zeros_like(row, jnp.float32)
-    return _take(table, jnp.clip(row, 0, table.shape[0] - 1))
-
-
 def normal_at(scene: sd.SceneData, hit: Hit, world_pt: V3,
-              lp: V3 = None) -> V3:
+              lp: V3 = None, reader: ClassReader = None) -> V3:
     """World-space unit normal (pre eye-facing flip)."""
     present = _present_types(scene)
     prim = hit.prim
+    if reader is None:
+        reader = ClassReader(scene, prim, cls=hit.cls)
     if lp is None:
-        lp = local_point(scene, prim, world_pt)
-    ptype = _take(scene.prim_type, prim)
-    row = _take(scene.prim_row, prim)
+        lp = apply_gathered_point(reader.affine_inv(), world_pt)
+    ptype = reader.icol(sd.CLS_TYPE)
     x, y, z = lp.x, lp.y, lp.z
     zero = jnp.zeros_like(x)
     one = jnp.ones_like(x)
@@ -99,8 +140,8 @@ def normal_at(scene: sd.SceneData, hit: Hit, world_pt: V3,
                   jnp.where((maxc != ax) & (maxc != ay), z, zero))
         n = merge(sd.CUBE, cand)
     if sd.CYLINDER in present:
-        cmin = _row_param(scene.cyl_min, row)
-        cmax = _row_param(scene.cyl_max, row)
+        cmin = reader.col(sd.CLS_PMIN)
+        cmax = reader.col(sd.CLS_PMAX)
         dist = x * x + z * z
         top = (dist < 1.0) & (y >= cmax - EPSILON)
         bot = (dist < 1.0) & (y <= cmin + EPSILON)
@@ -109,8 +150,8 @@ def normal_at(scene: sd.SceneData, hit: Hit, world_pt: V3,
                   jnp.where(top | bot, zero, z))
         n = merge(sd.CYLINDER, cand)
     if sd.CONE in present:
-        cmin = _row_param(scene.con_min, row)
-        cmax = _row_param(scene.con_max, row)
+        cmin = reader.col(sd.CLS_PMIN)
+        cmax = reader.col(sd.CLS_PMAX)
         dist = x * x + z * z
         ny = jnp.sqrt(jnp.maximum(dist, 0.0))
         ny = jnp.where(y > 0.0, -ny, ny)
@@ -121,29 +162,33 @@ def normal_at(scene: sd.SceneData, hit: Hit, world_pt: V3,
                   jnp.where(top | bot, zero, z))
         n = merge(sd.CONE, cand)
     if sd.TORUS in present:
-        r = _row_param(scene.tor_r, row)
+        r = reader.col(sd.CLS_TORR)
         ss = x * x + y * y + z * z
         ps = 1.0 + r * r
         n = merge(sd.TORUS, V3(4.0 * x * (ss - ps), 4.0 * y * (ss - ps),
                                4.0 * z * (ss - ps + 2.0)))
 
-    world_n = apply_gathered_linear(
-        gathered_affine(scene.prim_nmat, prim), n).normalize()
+    world_n = apply_gathered_linear(reader.nmat(), n).normalize()
 
     if sd.TRIANGLE in present:
-        tri = hit.tri
+        if hit.tri_n is not None:
+            # Kernel-interpolated world normal (flat triangles store
+            # n1=n2=n3=nflat, so the interpolation is the identity).
+            tri_n = V3(*hit.tri_n).normalize()
+        else:
+            tri = hit.tri
 
-        def tv3(table):
-            return V3(_take(table[:, 0], tri), _take(table[:, 1], tri),
-                      _take(table[:, 2], tri))
+            def tv3(table):
+                return V3(_take(table[:, 0], tri), _take(table[:, 1], tri),
+                          _take(table[:, 2], tri))
 
-        smooth = _take(scene.tri_smooth, tri)
-        interp = (tv3(scene.tri_n2) * hit.u + tv3(scene.tri_n3) * hit.v
-                  + tv3(scene.tri_n1) * (1.0 - hit.u - hit.v))
-        nflat = tv3(scene.tri_nflat)
-        tri_n = V3(jnp.where(smooth, interp.x, nflat.x),
-                   jnp.where(smooth, interp.y, nflat.y),
-                   jnp.where(smooth, interp.z, nflat.z)).normalize()
+            smooth = _take(scene.tri_smooth, tri)
+            interp = (tv3(scene.tri_n2) * hit.u + tv3(scene.tri_n3) * hit.v
+                      + tv3(scene.tri_n1) * (1.0 - hit.u - hit.v))
+            nflat = tv3(scene.tri_nflat)
+            tri_n = V3(jnp.where(smooth, interp.x, nflat.x),
+                       jnp.where(smooth, interp.y, nflat.y),
+                       jnp.where(smooth, interp.z, nflat.z)).normalize()
         m = ptype == sd.TRIANGLE
         world_n = V3(jnp.where(m, tri_n.x, world_n.x),
                      jnp.where(m, tri_n.y, world_n.y),
@@ -151,12 +196,14 @@ def normal_at(scene: sd.SceneData, hit: Hit, world_pt: V3,
     return world_n
 
 
-def uv_at(scene: sd.SceneData, hit: Hit, pts: V3):
+def uv_at(scene: sd.SceneData, hit: Hit, pts: V3,
+          reader: ClassReader = None):
     """Per-shape uv_mapping on pattern-space points."""
     present = _present_types(scene)
     prim = hit.prim
-    ptype = _take(scene.prim_type, prim)
-    row = _take(scene.prim_row, prim)
+    if reader is None:
+        reader = ClassReader(scene, prim)
+    ptype = reader.icol(sd.CLS_TYPE)
     x, y, z = pts.x, pts.y, pts.z
     pi = jnp.pi
     u = jnp.zeros_like(x)
@@ -185,20 +232,18 @@ def uv_at(scene: sd.SceneData, hit: Hit, pts: V3):
         vv = jnp.where(fy, vy, (y + 1.0) * 0.5)
         u, v = merge(sd.CUBE, uu, vv)
     if sd.CYLINDER in present:
-        cmin = _row_param(scene.cyl_min, row)
-        cmax = _row_param(scene.cyl_max, row)
-        closed = _row_param(scene.cyl_closed, row) \
-            if scene.cyl_closed.shape[0] else jnp.zeros_like(x, bool)
+        cmin = reader.col(sd.CLS_PMIN)
+        cmax = reader.col(sd.CLS_PMAX)
+        closed = reader.col(sd.CLS_CLOSED) != 0.0
         cap = closed & ((y <= cmin) | (y >= cmax))
         theta = jnp.arctan2(z, x)
         uu = jnp.where(cap, (x + 1.0) / 2.0, (theta + pi) / (2.0 * pi))
         vv = jnp.where(cap, (z + 1.0) / 2.0, jnp.mod(y, 1.0))
         u, v = merge(sd.CYLINDER, uu, vv)
     if sd.CONE in present:
-        cmin = _row_param(scene.con_min, row)
-        cmax = _row_param(scene.con_max, row)
-        closed = _row_param(scene.con_closed, row) \
-            if scene.con_closed.shape[0] else jnp.zeros_like(x, bool)
+        cmin = reader.col(sd.CLS_PMIN)
+        cmax = reader.col(sd.CLS_PMAX)
+        closed = reader.col(sd.CLS_CLOSED) != 0.0
         cap = closed & ((jnp.abs(y - cmin) <= EPSILON)
                         | (jnp.abs(y - cmax) <= EPSILON))
         radius = jnp.maximum(jnp.abs(y), 1e-30)
@@ -313,14 +358,18 @@ def eval_pattern(node: sd.PatternData, pts: V3, uv_ctx) -> V3:
     raise ValueError(f"unknown pattern type {t!r}")
 
 
-def pattern_at(scene: sd.SceneData, hit: Hit, obj_pts: V3) -> V3:
+def pattern_at(scene: sd.SceneData, hit: Hit, obj_pts: V3,
+               reader: ClassReader = None) -> V3:
     """pattern_at_object (material.rs:77-80) on already-object-space points."""
+    if reader is None:
+        reader = ClassReader(scene, hit.prim)
+
     def uv_ctx(pattern_pts):
-        return uv_at(scene, hit, pattern_pts)
+        return uv_at(scene, hit, pattern_pts, reader=reader)
 
     if len(scene.patterns) == 1:
         return eval_pattern(scene.patterns[0], obj_pts, uv_ctx)
-    pid = _take(scene.pattern_id, hit.prim)
+    pid = reader.icol(sd.CLS_PATTERN)
     out = V3(jnp.zeros_like(obj_pts.x), jnp.zeros_like(obj_pts.x),
              jnp.zeros_like(obj_pts.x))
     for i, root in enumerate(scene.patterns):

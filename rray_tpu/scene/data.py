@@ -37,6 +37,31 @@ from ..config import RenderSettings, default_dtype
 # Primitive type codes.
 SPHERE, PLANE, CUBE, CYLINDER, CONE, TORUS, TRIANGLE = range(7)
 
+# cls_table column layout. A "class" is a shade-equivalent leaf group:
+# every analytic leaf is its own class, while all triangles sharing one
+# source mesh (same material object + composed transform) collapse to a
+# single class. Shading reads then happen over the tiny [M] class domain
+# instead of the [P] prim domain — per-element gathers run at ~1
+# element/cycle on the TPU scalar path, so a 60k-ray tile paid ~60 us
+# PER table read; class reads are unrolled selects on the VPU instead
+# (see shade_soa.ClassReader).
+CLS_INV = 0          # 12 cols: world->object affine, row-major [3,4]
+CLS_NMAT = 12        # 9 cols: object-normal -> world matrix [3,3]
+CLS_TYPE = 21        # type code (exact small int in float)
+CLS_PATTERN = 22     # pattern root index
+CLS_AMBIENT = 23
+CLS_DIFFUSE = 24
+CLS_SPECULAR = 25
+CLS_SHININESS = 26
+CLS_REFLECTIVE = 27
+CLS_TRANSPARENCY = 28
+CLS_IOR = 29
+CLS_PMIN = 30        # cylinder/cone minimum (by type)
+CLS_PMAX = 31        # cylinder/cone maximum
+CLS_CLOSED = 32      # cylinder/cone closed flag (0/1)
+CLS_TORR = 33        # torus minor radius
+CLS_COLS = 34
+
 # CSG op codes (csg.rs:53-64).
 CSG_UNION, CSG_INTERSECTION, CSG_DIFFERENCE = range(3)
 _CSG_OPS = {"union": CSG_UNION, "intersection": CSG_INTERSECTION,
@@ -216,6 +241,8 @@ class SceneData:
     mat_transparency: Any
     mat_ior: Any
     pattern_id: Any     # [P] int32 index into `patterns`
+    prim_class: Any     # [P] int32 shade-class id (see CLS_* columns)
+    cls_table: Any      # [M, CLS_COLS] class shade table
 
     # Analytic per-type tables.
     sph_inv: Any        # [Ns,3,4]
@@ -248,6 +275,7 @@ class SceneData:
     tri_n3: Any
     tri_smooth: Any     # [T] bool
     tri_prim: Any       # [T] int32
+    tri_class: Any      # [T] int32 shade-class of each triangle
 
     # CSG (innermost-first): side[c, p] in {0: not under, 1: left, 2: right}.
     csg_side: Any       # [C, P] int32
@@ -266,6 +294,8 @@ class SceneData:
     # Per-prim: is the leaf an operand of any CSG node? (static, so the
     # integrator can restrict sorted-slot work to member prims only).
     csg_member_static: Tuple[bool, ...] = ()
+    n_classes: int = 0
+    prim_class_static: Tuple[int, ...] = ()
 
 
 _register(SceneData,
@@ -273,17 +303,19 @@ _register(SceneData,
               "prim_inv", "prim_nmat", "prim_type", "prim_row",
               "mat_ambient", "mat_diffuse", "mat_specular", "mat_shininess",
               "mat_reflective", "mat_transparency", "mat_ior", "pattern_id",
+              "prim_class", "cls_table",
               "sph_inv", "sph_prim", "pla_inv", "pla_prim", "cub_inv", "cub_prim",
               "cyl_inv", "cyl_prim", "cyl_min", "cyl_max", "cyl_closed",
               "con_inv", "con_prim", "con_min", "con_max", "con_closed",
               "tor_inv", "tor_prim", "tor_r",
               "tri_p1", "tri_e1", "tri_e2", "tri_nflat",
               "tri_n1", "tri_n2", "tri_n3", "tri_smooth", "tri_prim",
-              "csg_side", "lights", "patterns",
+              "tri_class", "csg_side", "lights", "patterns",
           ),
           meta_fields=("csg_ops", "has_reflective", "has_transparent",
                        "counts", "prim_kinds", "prim_rows_static",
-                       "csg_member_static"))
+                       "csg_member_static", "n_classes",
+                       "prim_class_static"))
 
 
 # --------------------------------------------------------------------------
@@ -322,13 +354,18 @@ def _walk(shape: Shape, parent_world: np.ndarray, leaves, csgs, depth):
     """DFS fold of the scene graph. Returns the leaves added in this subtree
     plus the leaves that `includes()` would report for this node
     (group: recursive — group.rs:151-159; csg: direct children only —
-    csg.rs:295-297; primitive: itself)."""
-    if shape.hidden:
-        return [], []
+    csg.rs:295-297; primitive: itself).
+
+    `hidden` is honored only where the reference's builder consults it:
+    top-level objects (scene_builder_yaml.rs:401) and group children
+    (scene_builder_yaml.rs:169). A hidden CSG operand is still built —
+    create_csg never checks the flag."""
     world = parent_world @ shape.transform
     if shape.kind == "group":
         subtree, included = [], []
         for child in shape.children:
+            if child.hidden:
+                continue
             s, i = _walk(child, world, leaves, csgs, depth + 1)
             subtree.extend(s)
             included.extend(i)
@@ -424,6 +461,8 @@ def compile_scene(objects, lights, dtype=None) -> SceneData:
     csgs: list[_CsgNode] = []
     root = mu.identity()
     for obj in objects:
+        if obj.hidden:
+            continue
         _walk(obj, root, leaves, csgs, 0)
 
     P = len(leaves)
@@ -546,6 +585,45 @@ def compile_scene(objects, lights, dtype=None) -> SceneData:
     has_reflective = any(l.material.reflective > 0.0 for l in leaves)
     has_transparent = any(l.material.transparency > 0.0 for l in leaves)
 
+    # Shade classes: each analytic leaf is its own class; a mesh's
+    # triangles (same material object + composed transform) collapse to
+    # one. All per-prim shading state is class-uniform by construction
+    # (triangle vertex normals stay in the per-tri tables).
+    prim_class = np.zeros(P, np.int32)
+    class_index: dict = {}
+    class_rep: list[_Leaf] = []
+    for leaf in leaves:
+        if leaf.shape.kind in ("triangle", "smooth_triangle"):
+            key = ("tri", id(leaf.material), leaf.world.tobytes())
+        else:
+            key = ("leaf", leaf.prim_id)
+        if key not in class_index:
+            class_index[key] = len(class_rep)
+            class_rep.append(leaf)
+        prim_class[leaf.prim_id] = class_index[key]
+    M = len(class_rep)
+    cls_table = np.zeros((max(M, 1), CLS_COLS))
+    for ci, leaf in enumerate(class_rep):
+        p = leaf.prim_id
+        s, m = leaf.shape, leaf.material
+        cls_table[ci, CLS_INV:CLS_INV + 12] = prim_inv[p].reshape(12)
+        cls_table[ci, CLS_NMAT:CLS_NMAT + 9] = prim_nmat[p].reshape(9)
+        cls_table[ci, CLS_TYPE] = prim_type[p]
+        cls_table[ci, CLS_PATTERN] = pat_ids[p]
+        cls_table[ci, CLS_AMBIENT] = m.ambient
+        cls_table[ci, CLS_DIFFUSE] = m.diffuse
+        cls_table[ci, CLS_SPECULAR] = m.specular
+        cls_table[ci, CLS_SHININESS] = m.shininess
+        cls_table[ci, CLS_REFLECTIVE] = m.reflective
+        cls_table[ci, CLS_TRANSPARENCY] = m.transparency
+        cls_table[ci, CLS_IOR] = m.refractive_index
+        if s.kind in ("cylinder", "cone"):
+            cls_table[ci, CLS_PMIN] = s.minimum
+            cls_table[ci, CLS_PMAX] = s.maximum
+            cls_table[ci, CLS_CLOSED] = float(bool(s.closed))
+        elif s.kind == "torus":
+            cls_table[ci, CLS_TORR] = s.minor_radius
+
     return SceneData(
         prim_inv=jnp.asarray(prim_inv, dtype),
         prim_nmat=jnp.asarray(prim_nmat, dtype),
@@ -559,6 +637,8 @@ def compile_scene(objects, lights, dtype=None) -> SceneData:
         mat_transparency=jnp.asarray(mats["transparency"], dtype),
         mat_ior=jnp.asarray(mats["ior"], dtype),
         pattern_id=jnp.asarray(pat_ids),
+        prim_class=jnp.asarray(prim_class),
+        cls_table=jnp.asarray(cls_table, dtype),
         sph_inv=sph_inv, sph_prim=sph_prim,
         pla_inv=pla_inv, pla_prim=pla_prim,
         cub_inv=cub_inv, cub_prim=cub_prim,
@@ -572,6 +652,8 @@ def compile_scene(objects, lights, dtype=None) -> SceneData:
         tri_n1=jnp.asarray(tn1, dtype), tri_n2=jnp.asarray(tn2, dtype),
         tri_n3=jnp.asarray(tn3, dtype), tri_smooth=jnp.asarray(tsm),
         tri_prim=jnp.asarray(np.array([l.prim_id for l in tris], np.int32)),
+        tri_class=jnp.asarray(np.array([prim_class[l.prim_id] for l in tris],
+                                       np.int32)),
         csg_side=jnp.asarray(csg_side),
         lights=tuple(_compile_light(l, dtype) for l in lights),
         patterns=tuple(_compile_pattern(p, dtype) for p in pattern_roots),
@@ -585,6 +667,8 @@ def compile_scene(objects, lights, dtype=None) -> SceneData:
         prim_rows_static=tuple(int(r) for r in prim_row),
         csg_member_static=tuple(bool(csg_side[:, p].any()) if C else False
                                 for p in range(P)),
+        n_classes=M,
+        prim_class_static=tuple(int(c) for c in prim_class),
     )
 
 

@@ -2,8 +2,13 @@
 PNGs (shipped alongside their YAML scenes in the reference repo's
 examples/). Skipped when the reference checkout isn't available.
 
-Tolerances are loose where scenes sample Perlin noise (FastNoiseLite
-reimplementation) and tight elsewhere; failures print per-scene stats.
+These run in EXACT-parity mode: f64 on CPU with the anti-aliasing level
+the reference used for each PNG (objects were rendered with -a 3,
+patterns with -a 1 — discovered by sweeping aa until the diff hit
+zero). Measured diffs are 0/255 for every pattern scene and every
+object scene except torus (stale PNG, see below); noise/perturbed hit
+max 1-2/255, which pins the FastNoiseLite reimplementation bit-for-bit
+at 8-bit output precision. Tolerances below are a hair above measured.
 """
 import os
 
@@ -14,25 +19,33 @@ import pytest
 REF = "/root/reference/examples"
 
 CASES = [
-    # (yaml, png, mean_tol, frac_tol[, row_range])
-    ("objects/sphere.yaml", "objects/sphere.png", 12.0, 0.10),
-    ("objects/cube.yaml", "objects/cube.png", 12.0, 0.10),
-    ("objects/cylinder.yaml", "objects/cylinder.png", 12.0, 0.10),
-    ("objects/cone.yaml", "objects/cone.png", 12.0, 0.10),
+    # (yaml, png, aa, mean_tol, frac2_tol[, row_range])
+    ("objects/sphere.yaml", "objects/sphere.png", 3, 0.05, 0.0005),
+    ("objects/cube.yaml", "objects/cube.png", 3, 0.05, 0.0005),
+    ("objects/cylinder.yaml", "objects/cylinder.png", 3, 0.05, 0.0005),
+    ("objects/cone.yaml", "objects/cone.png", 3, 0.05, 0.0005),
     # torus.png is stale vs torus.yaml in the reference repo: the YAML
     # puts the back wall at z=4 (~80 px checker cells at this camera)
-    # while the PNG shows ~27 px cells (z~22, like the other scenes).
-    # Compare only the torus + near-floor region, which does match.
-    ("objects/torus.yaml", "objects/torus.png", 18.0, 0.20, (160, 400)),
-    ("objects/triangle.yaml", "objects/triangle.png", 12.0, 0.10),
-    ("patterns/stripe_pattern.yaml", "patterns/stripe_pattern.png", 6.0, 0.05),
-    ("patterns/gradient_pattern.yaml", "patterns/gradient_pattern.png", 6.0, 0.05),
-    ("patterns/ring_pattern.yaml", "patterns/ring_pattern.png", 6.0, 0.05),
-    ("patterns/checker_pattern.yaml", "patterns/checker_pattern.png", 6.0, 0.05),
-    ("patterns/blend_pattern.yaml", "patterns/blend_pattern.png", 6.0, 0.05),
-    ("patterns/noise_pattern.yaml", "patterns/noise_pattern.png", 12.0, 0.15),
+    # while the PNG shows ~27 px cells (z~22, like the other scenes);
+    # every other object PNG matches to 0/255 under identical settings,
+    # so the renderer is not the variable. Compare only the torus +
+    # near-floor region, which does match.
+    ("objects/torus.yaml", "objects/torus.png", 1, 18.0, 0.30, (160, 400)),
+    ("objects/triangle.yaml", "objects/triangle.png", 3, 0.05, 0.0005),
+    ("patterns/stripe_pattern.yaml", "patterns/stripe_pattern.png",
+     1, 0.01, 0.0002),
+    ("patterns/gradient_pattern.yaml", "patterns/gradient_pattern.png",
+     1, 0.01, 0.0002),
+    ("patterns/ring_pattern.yaml", "patterns/ring_pattern.png",
+     1, 0.01, 0.0002),
+    ("patterns/checker_pattern.yaml", "patterns/checker_pattern.png",
+     1, 0.01, 0.0002),
+    ("patterns/blend_pattern.yaml", "patterns/blend_pattern.png",
+     1, 0.01, 0.0002),
+    ("patterns/noise_pattern.yaml", "patterns/noise_pattern.png",
+     1, 0.01, 0.0002),
     ("patterns/perturbed_pattern.yaml", "patterns/perturbed_pattern.png",
-     12.0, 0.15),
+     1, 0.01, 0.0002),
 ]
 
 
@@ -42,26 +55,77 @@ def available():
             and os.path.exists(os.path.join(REF, c[1]))]
 
 
-@pytest.mark.parametrize("case", available(), ids=[c[0] for c in available()])
-def test_golden(case):
-    yaml_rel, png_rel, mean_tol, frac_tol = case[:4]
-    rows = case[4] if len(case) > 4 else None
+def _compare(yaml_path, png_path, mean_tol, frac_tol, rows=None,
+             size=None, aa=1, dtype=jnp.float32, frac_gt=30):
     from PIL import Image
 
     from rray_tpu.api import render_scene_from_file
     from rray_tpu.render.canvas import to_u8
 
-    ref = np.asarray(Image.open(os.path.join(REF, png_rel)).convert("RGB"),
-                     np.float64)
+    ref_im = Image.open(png_path).convert("RGB")
+    if size is not None:
+        ref_im = ref_im.resize(size, Image.BOX)
+    ref = np.asarray(ref_im, np.float64)
     h, w = ref.shape[:2]
-    img = render_scene_from_file(os.path.join(REF, yaml_rel), w, h, "",
-                                 aa=1, dtype=jnp.float32)
+    img = render_scene_from_file(yaml_path, w, h, "", aa=aa, dtype=dtype)
     ours = to_u8(img).astype(np.float64)
     diff = np.abs(ours - ref).max(axis=-1)
     if rows is not None:
         diff = diff[rows[0]:rows[1]]
     mean = diff.mean()
-    frac = (diff > 30).mean()
+    frac = (diff > frac_gt).mean()
     assert mean <= mean_tol and frac <= frac_tol, (
-        f"{yaml_rel}: mean={mean:.2f} (tol {mean_tol}), "
-        f"frac>30={frac:.3f} (tol {frac_tol})")
+        f"{yaml_path}: mean={mean:.3f} (tol {mean_tol}), "
+        f"frac>{frac_gt}={frac:.4f} (tol {frac_tol}), max={diff.max()}")
+
+
+@pytest.mark.parametrize("case", available(), ids=[c[0] for c in available()])
+def test_golden(case):
+    yaml_rel, png_rel, aa, mean_tol, frac_tol = case[:5]
+    rows = case[5] if len(case) > 5 else None
+    # The torus row-range case keeps the legacy >30 gate (stale PNG);
+    # exact-mode cases gate on >2 so even single-bit drifts register.
+    frac_gt = 30 if rows is not None else 2
+    _compare(os.path.join(REF, yaml_rel), os.path.join(REF, png_rel),
+             mean_tol, frac_tol, rows=rows, aa=aa, dtype=jnp.float64,
+             frac_gt=frac_gt)
+
+
+ROOT = "/root/reference"
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(ROOT, "example1.yaml")),
+                    reason="no reference checkout")
+class TestShowcaseParity:
+    """The reference repo's own showcase renders — BASELINE.md's headline
+    forward-parity target (example1.yaml:1-260, project_icon.yaml)."""
+
+    def test_project_icon(self):
+        """256x256 at aa=3, area light level 6 (36 jittered shadow
+        samples), reflective checker floor; the CSG and cube are hidden
+        at top level (scene_builder_yaml.rs:401 honors the flag there),
+        so they must not be built. Measured diff: mean 0.51, frac>2
+        0.068, max 27 — entirely the seeded-PRNG area sampler (vs the
+        reference's thread_rng) jittering the penumbra."""
+        _compare(os.path.join(ROOT, "project_icon.yaml"),
+                 os.path.join(ROOT, "project_icon.png"), 1.5, 0.005,
+                 aa=3, dtype=jnp.float32)
+
+    def test_example1_quarter(self):
+        """example1 (perturbed-stripe floor, blend wall, earthmap image
+        plane, group of cylinder/cone/glass sphere/teapot/mirror
+        triangle/CSG difference/torus) at 200x100 vs the box-downsampled
+        reference PNG. Point-sampling vs box-average dominates the diff
+        (measured mean 8.5); the full-resolution comparison in
+        test_example1_full measures mean 3.25."""
+        _compare(os.path.join(ROOT, "example1.yaml"),
+                 os.path.join(ROOT, "example1.png"), 12.0, 0.10,
+                 size=(200, 100))
+
+    @pytest.mark.slow
+    def test_example1_full(self):
+        """Full 800x400 parity render (~11 min CPU, aa=1 vs the
+        reference's aa=3 PNG). Measured: mean 3.25, frac>30 0.0155 —
+        silhouette anti-aliasing plus Perlin-boundary pixels."""
+        _compare(os.path.join(ROOT, "example1.yaml"),
+                 os.path.join(ROOT, "example1.png"), 5.0, 0.025)

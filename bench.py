@@ -83,11 +83,44 @@ def main():
 
     sec = device_seconds_per_call(lambda n: repeat_with_jitter(render_scalar, n))
     value = width * height / sec
+
+    # Hard-path configs (glass wavefront / area light / mesh / CSG) ride
+    # along in the same JSON line so regressions there are visible to the
+    # driver, under a wall-clock budget so a cold compile cache can't
+    # blow the bench window.
+    suite = {}
+    budget_s = float(os.environ.get("RRAY_BENCH_BUDGET_S", "1800"))
+    t0 = time.time()
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        import bench_suite
+        import contextlib
+        import io
+
+        for cfg in ("2", "3", "4", "5"):
+            if time.time() - t0 > budget_s:
+                suite[f"config{cfg}"] = "skipped (budget)"
+                continue
+            buf = io.StringIO()
+            try:
+                with contextlib.redirect_stdout(buf):
+                    bench_suite.main([cfg])
+                line = [l for l in buf.getvalue().splitlines()
+                        if l.startswith("{")][-1]
+                rec = json.loads(line)
+                suite[rec["metric"]] = rec["value"]
+            except Exception as e:  # one bad config must not kill the bench
+                suite[f"config{cfg}"] = f"error: {e}"[:200]
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "primary_rays_per_s",
         "value": value,
         "unit": "rays/s",
         "vs_baseline": value / 1e9,
+        "suite": suite,
     }))
 
 

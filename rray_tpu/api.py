@@ -8,6 +8,7 @@ by aa, and write the PNG.
 from __future__ import annotations
 
 import logging
+import os
 import time
 
 import jax
@@ -93,3 +94,78 @@ def render_scene_from_file(path: str, width: int, height: int,
     if png_file:
         canvas.write_png(png_file, image)
     return image
+
+
+def render_scene_progressive(path: str, width: int, height: int,
+                             png_file: str, aa: int = 1, seed: int = 0,
+                             band_rows: int = 64,
+                             checkpoint_path: str = None,
+                             settings: RenderSettings = None,
+                             dtype=None) -> np.ndarray:
+    """Band-by-band render with checkpoint/resume (CLI --checkpoint).
+
+    A pre-existing checkpoint (same scene/camera) is resumed: only
+    unfinished bands render. The PNG is written once the frame
+    completes."""
+    from .render.progressive import ProgressiveRender
+
+    enable_compile_cache()
+    dtype = dtype or default_dtype()
+    settings = settings or RenderSettings()
+    camera_spec, lights, shapes = load_scene_file(path)
+    scene, cam = _build(camera_spec, lights, shapes, width, height, aa,
+                        dtype)
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        prog = ProgressiveRender.resume(checkpoint_path, scene, cam,
+                                        settings, seed, band_rows)
+    else:
+        prog = ProgressiveRender(scene, cam, settings, seed, band_rows,
+                                 checkpoint_path)
+    image = canvas.downsample(prog.run(), aa)
+    if png_file:
+        canvas.write_png(png_file, image)
+    return image
+
+
+def render_resilient(path: str, width: int, height: int, png_file: str,
+                     aa: int = 1, seed: int = 0, band_rows: int = 64,
+                     checkpoint_path: str = None, attempts: int = 4,
+                     wait_s: float = 0.0) -> int:
+    """Elastic full-frame render: checkpointed subprocesses + restart.
+
+    The failure domain on a tunneled TPU is the whole backend — a
+    crashed worker cannot be re-initialized in-process — so the elastic
+    unit is a child interpreter running the checkpointing CLI. Each
+    retry gets a fresh backend and resumes from the band checkpoint, so
+    completed work is never re-rendered (the render-path analog of
+    checkpoint/restart elastic training). Returns the subprocess's final
+    return code (0 = frame complete, PNG written)."""
+    import subprocess
+    import sys
+    import tempfile
+    import time as _time
+
+    if checkpoint_path is None:
+        checkpoint_path = os.path.join(
+            tempfile.mkdtemp(prefix="rray_ckpt_"), "frame.npz")
+    cmd = [sys.executable, "-m", "rray_tpu.cli", "-s", path,
+           "-W", str(width), "-H", str(height), "-o", png_file,
+           "-a", str(aa), "--seed", str(seed),
+           "--checkpoint", checkpoint_path, "--band-rows", str(band_rows)]
+    last_done = -1
+    for attempt in range(attempts):
+        rc = subprocess.call(cmd)
+        if rc == 0:
+            return 0
+        done = -1
+        if os.path.exists(checkpoint_path):
+            done = int(np.load(checkpoint_path)["done"].sum())
+        log.warning("render attempt %d failed (rc=%d, %d bands done)",
+                    attempt + 1, rc, max(done, 0))
+        if done <= last_done and attempt:
+            # No forward progress two attempts running: give up early.
+            return rc
+        last_done = done
+        if wait_s:
+            _time.sleep(wait_s)
+    return rc

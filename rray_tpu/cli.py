@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "a nondeterministic thread RNG")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="Log render progress and throughput")
+    p.add_argument("--checkpoint", default=None,
+                   help="Band-checkpoint file: render progressively and "
+                        "resume from it if it exists (crash recovery)")
+    p.add_argument("--band-rows", type=int, default=64,
+                   help="Rows per checkpointed band (default 64)")
     return p
 
 
@@ -56,6 +61,14 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.checkpoint:
+        from .api import render_scene_progressive
+
+        render_scene_progressive(args.scene, args.width, args.height,
+                                 args.output, aa=args.aa, seed=args.seed,
+                                 band_rows=args.band_rows,
+                                 checkpoint_path=args.checkpoint)
+        return 0
     from .api import render_scene_from_file
 
     render_scene_from_file(args.scene, args.width, args.height, args.output,

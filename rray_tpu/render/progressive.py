@@ -11,6 +11,7 @@ band (SURVEY.md §5 observability/checkpoint equivalents).
 from __future__ import annotations
 
 import logging
+import os
 import time
 
 import jax
@@ -87,7 +88,15 @@ class ProgressiveRender:
         total_rays = len(todo) * self.band_rows * self.cam.hsize
         done_rays = 0
         t_start = time.perf_counter()
+        # Failure-injection hook for the elastic-render tests: abort the
+        # process after N bands, simulating a device loss mid-frame.
+        fail_after = int(os.environ.get("RRAY_FAIL_AFTER_BANDS", "0") or 0)
+        bands_this_process = 0
         for b in todo:
+            if fail_after and bands_this_process >= fail_after:
+                raise RuntimeError(
+                    "injected device loss (RRAY_FAIL_AFTER_BANDS)")
+            bands_this_process += 1
             row0 = b * self.band_rows
             rows = min(self.band_rows, self.cam.vsize - row0)
             t0 = time.perf_counter()

@@ -47,8 +47,14 @@ def measure_frame_seconds(render_scalar, max_exec_seconds: float = 4.0):
         best = min(best, time.perf_counter() - t0)
     if best > 1.0:
         return best  # RTT ~30-50ms: noise at this scale
-    n = max(int(max_exec_seconds / max(best, 1e-4)), 2)
-    n = min(n, 2001)
+    # A single call is RTT-dominated (~30-50 ms), so it only bounds the
+    # frame time from above. Refine with a 16-rep probe before choosing
+    # the final rep count — microsecond frames need thousands of reps or
+    # the answer is tunnel jitter, not device time.
+    probe = device_seconds_per_call(
+        lambda k: repeat_with_jitter(render_scalar, k), n=16, tries=2)
+    est = max(probe, 1e-7)
+    n = max(min(int(max_exec_seconds / est), 2001), 64)
     return device_seconds_per_call(
         lambda k: repeat_with_jitter(render_scalar, k), n=n)
 

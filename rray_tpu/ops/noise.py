@@ -41,10 +41,26 @@ def _grad_coord(seed, xp, yp, zp, xd, yd, zd, dtype):
     h = (h * _HASH_MUL).astype(jnp.int32)
     h = jnp.bitwise_xor(h, h >> 15)
     idx = (h & (63 << 2)) >> 2
-    gx = jnp.asarray(_GRAD_X, dtype)[idx]
-    gy = jnp.asarray(_GRAD_Y, dtype)[idx]
-    gz = jnp.asarray(_GRAD_Z, dtype)[idx]
-    return xd * gx + yd * gy + zd * gz
+    # The 64-entry table is closed-form: entries 0..59 are the 12 cube-edge
+    # gradients (exactly one zero component, the others ±1) tiled 5x, and
+    # 60..63 are four fixed fillers. Evaluating the dot product with
+    # selects instead of three table gathers matters enormously on TPU:
+    # gathers run ~1 element/cycle and this is called 8x per octave per
+    # ray (measured 6x on the whole CSG-showcase frame).
+    j = idx % 12
+    k = j % 4
+    one = jnp.ones_like(xd)
+    s1 = jnp.where((k & 1) == 0, one, -one)
+    s2 = jnp.where((k & 2) == 0, one, -one)
+    g = j >> 2  # 0: x=0, 1: y=0, 2: z=0
+    dot = jnp.where(g == 0, s1 * yd + s2 * zd,
+                    jnp.where(g == 1, s1 * xd + s2 * zd,
+                              s1 * xd + s2 * yd))
+    # Fillers: (1,1,0), (0,-1,1), (-1,1,0), (0,-1,-1) for idx 60..63.
+    fill = jnp.where(idx == 60, xd + yd,
+                     jnp.where(idx == 61, zd - yd,
+                               jnp.where(idx == 62, yd - xd, -yd - zd)))
+    return jnp.where(idx >= 60, fill, dot)
 
 
 def _quintic(t):

@@ -35,7 +35,8 @@ from ..ops.vec import V3
 from ..scene import data as sd
 from . import patterns
 from . import shade_soa
-from .camera import CameraData, all_rays, all_rays_soa
+from .camera import (CameraData, all_rays, all_rays_soa,
+                     rays_for_pixels_soa)
 
 
 # ---------------------------------------------------------------------------
@@ -730,14 +731,60 @@ def _tile_rays(scene: sd.SceneData, cam: CameraData,
     return max(rows * cam.hsize, 1)
 
 
+# Pixel-tile swizzle for mesh scenes: the triangle kernels cull a whole
+# 512-ray block against chunk/node AABBs, so a block must be a compact
+# screen region. In scanline order a block is a 512-pixel strip that
+# crosses nearly every mesh's box; rendering in (16 x 32)-pixel tile
+# order makes culling effective (measured 2x+ on the teapot frame).
+# Pure reshape/transpose on both ends — no gathers, bit-identical image.
+_SWZ_TH, _SWZ_TW = 16, 32
+
+
+def _swizzled_rays(cam: CameraData):
+    """SoA rays in (16 x 32)-tile-major order over the padded raster.
+
+    Returns (ro, rd, Hp, Wp); pad pixels re-trace the last real pixel of
+    their row/column and are cropped by `_unswizzle_image`."""
+    th, tw = _SWZ_TH, _SWZ_TW
+    Hp = -(-cam.vsize // th) * th
+    Wp = -(-cam.hsize // tw) * tw
+    ys, xs = jnp.meshgrid(jnp.arange(Hp), jnp.arange(Wp), indexing="ij")
+    xs = jnp.minimum(xs, cam.hsize - 1)
+    ys = jnp.minimum(ys, cam.vsize - 1)
+
+    def sw(a):
+        return a.reshape(Hp // th, th, Wp // tw, tw).swapaxes(1, 2).reshape(-1)
+
+    ro, rd = rays_for_pixels_soa(cam, sw(xs), sw(ys))
+    return ro, rd, Hp, Wp
+
+
+def _unswizzle_image(colors, vsize, hsize, Hp, Wp):
+    th, tw = _SWZ_TH, _SWZ_TW
+    img = colors.reshape(Hp // th, Wp // tw, th, tw, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 3)
+    return img[:vsize, :hsize]
+
+
 def render(scene: sd.SceneData, cam: CameraData,
            settings: RenderSettings = RenderSettings(), seed: int = 0):
     """Full-frame render -> image [vsize, hsize, 3] (linear, unclamped)."""
     key = jax.random.PRNGKey(seed)
-    R = cam.hsize * cam.vsize
-    tile = _tile_rays(scene, cam, settings)
     node = _soa_node_fn(scene)
-    ro, rd = all_rays_soa(cam)
+    swizzle = bool(scene.counts[6]) and soa._use_pallas(settings,
+                                                        cam.inv.dtype)
+    tile = _tile_rays(scene, cam, settings)
+    if swizzle:
+        ro, rd, Hp, Wp = _swizzled_rays(cam)
+        R = Hp * Wp
+        # Whole 512-ray blocks per device step keep tiles block-aligned;
+        # split the frame evenly so the last tile isn't mostly padding.
+        blk = _SWZ_TH * _SWZ_TW
+        n_t = max(-(-R // max(tile, 1)), 1)
+        tile = -(-(-(-R // n_t)) // blk) * blk
+    else:
+        R = cam.hsize * cam.vsize
+        ro, rd = all_rays_soa(cam)
     pad = (-R) % tile
     if pad:
         padc = lambda c, f: jnp.concatenate(
@@ -761,6 +808,8 @@ def render(scene: sd.SceneData, cam: CameraData,
     else:
         out = jax.lax.map(tile_fn, (ro_t, rd_t))
         colors = out.to_array().reshape(-1, 3)[:R]
+    if swizzle:
+        return _unswizzle_image(colors, cam.vsize, cam.hsize, Hp, Wp)
     return colors.reshape(cam.vsize, cam.hsize, 3)
 
 

@@ -42,6 +42,11 @@ def _sample_texture(texture, u, v):
     x = jnp.minimum((u * w).astype(jnp.int32), w - 1)
     y = jnp.minimum((v * h).astype(jnp.int32), h - 1)
     y = h - y - 1  # v=0 is the bottom row (texture.rs:41-42)
+    if texture.dtype == jnp.uint32:
+        # Packed 8-bit RGB (scene/data.py); unpack to u8/255 floats.
+        px = texture[y, x]
+        return jnp.stack([((px >> 16) & 0xFF), ((px >> 8) & 0xFF),
+                          (px & 0xFF)], axis=-1) / 255.0
     return texture[y, x]
 
 

@@ -296,6 +296,9 @@ class SceneData:
     csg_member_static: Tuple[bool, ...] = ()
     n_classes: int = 0
     prim_class_static: Tuple[int, ...] = ()
+    # Per-prim pattern-root index (static, so shading can restrict uv
+    # computation to shape kinds whose pattern tree samples a texture).
+    prim_pattern_static: Tuple[int, ...] = ()
 
 
 _register(SceneData,
@@ -315,7 +318,7 @@ _register(SceneData,
           meta_fields=("csg_ops", "has_reflective", "has_transparent",
                        "counts", "prim_kinds", "prim_rows_static",
                        "csg_member_static", "n_classes",
-                       "prim_class_static"))
+                       "prim_class_static", "prim_pattern_static"))
 
 
 # --------------------------------------------------------------------------
@@ -426,7 +429,24 @@ def _morton_sort(tri_leaves):
 def _compile_pattern(p: Pattern, dtype) -> PatternData:
     inv = jnp.asarray(mu.affine(mu.inverse(p.transform)), dtype)
     color = jnp.asarray(p.color if p.color is not None else np.zeros(3), dtype)
-    tex = jnp.asarray(p.texture, dtype) if p.texture is not None else None
+    tex = None
+    if p.texture is not None:
+        # 8-bit sources (PNG via the image crate is u8 — texture.rs:49-54)
+        # pack RGB into one uint32 plane so sampling is ONE gather per ray
+        # instead of three (TPU gathers run ~1 element/cycle; measured
+        # 33 ms of the 1080p CSG-showcase frame). Unpacking reproduces the
+        # exact u8/255 float values. Non-8-bit textures keep the float
+        # [H,W,3] layout.
+        arr = np.asarray(p.texture, np.float64)
+        q = np.round(arr * 255.0)
+        if (arr.ndim == 3 and arr.shape[-1] == 3
+                and q.min() >= 0.0 and q.max() <= 255.0
+                and np.abs(arr * 255.0 - q).max() < 1e-9):
+            qi = q.astype(np.uint32)
+            tex = jnp.asarray((qi[..., 0] << 16) | (qi[..., 1] << 8)
+                              | qi[..., 2])
+        else:
+            tex = jnp.asarray(arr, dtype)
     return PatternData(
         ptype=p.ptype,
         octaves=int(p.octaves),
@@ -669,6 +689,7 @@ def compile_scene(objects, lights, dtype=None) -> SceneData:
                                 for p in range(P)),
         n_classes=M,
         prim_class_static=tuple(int(c) for c in prim_class),
+        prim_pattern_static=tuple(int(i) for i in pat_ids),
     )
 
 

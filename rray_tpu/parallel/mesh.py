@@ -27,8 +27,9 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from ..config import RenderSettings
+from ..ops.vec import V3
 from ..render import integrator
-from ..render.camera import CameraData, all_rays
+from ..render.camera import CameraData, all_rays_soa
 from ..scene import data as sd
 
 RAY_AXIS = "rays"
@@ -40,15 +41,11 @@ def make_mesh(devices=None, axis: str = RAY_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def _pad_rays(ro, rd, multiple: int):
-    R = ro.shape[0]
-    pad = (-R) % multiple
+def _pad_comp(c, fill, multiple: int):
+    pad = (-c.shape[0]) % multiple
     if pad:
-        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)], 0)
-        # Padding rays point +z from origin; their colors are discarded.
-        filler = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], rd.dtype), (pad, 1))
-        rd = jnp.concatenate([rd, filler], 0)
-    return ro, rd, R
+        c = jnp.concatenate([c, jnp.full((pad,), fill, c.dtype)], 0)
+    return c
 
 
 def render_sharded(scene: sd.SceneData, cam: CameraData, mesh: Mesh,
@@ -56,14 +53,24 @@ def render_sharded(scene: sd.SceneData, cam: CameraData, mesh: Mesh,
                    seed: int = 0):
     """Full-frame render with rays sharded over `mesh`'s first axis.
 
-    Returns the image [vsize, hsize, 3] (committed to the mesh's devices,
-    sharded by rows when vsize divides evenly).
+    Rays stay in SoA component arrays end-to-end (the same layout the
+    single-device hot path uses — an earlier [R,3] wrapper here cost 9x
+    on the sphere scene) and each device runs the scene-appropriate SoA
+    node over its contiguous ray block. Returns the image
+    [vsize, hsize, 3] (committed to the mesh's devices, sharded by rows
+    when vsize divides evenly).
     """
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
-    ro, rd = all_rays(cam)
-    ro, rd, R = _pad_rays(ro, rd, n)
+    ro, rd = all_rays_soa(cam)
+    R = ro.x.shape[0]
+    ro = V3(_pad_comp(ro.x, 0.0, n), _pad_comp(ro.y, 0.0, n),
+            _pad_comp(ro.z, 0.0, n))
+    # Padding rays point +z from origin; their colors are discarded.
+    rd = V3(_pad_comp(rd.x, 0.0, n), _pad_comp(rd.y, 0.0, n),
+            _pad_comp(rd.z, 1.0, n))
     key = jax.random.PRNGKey(seed)
+    node = integrator._soa_node_fn(scene)
 
     @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis), P(axis), P()),
              out_specs=P(axis))
@@ -71,8 +78,8 @@ def render_sharded(scene: sd.SceneData, cam: CameraData, mesh: Mesh,
         # Each device folds its mesh position into the sampling key so
         # area-light jitter stays decorrelated across shards.
         k = jax.random.fold_in(key_, jax.lax.axis_index(axis))
-        return integrator.color_at(scene_, ro_, rd_, settings.depth,
-                                   settings, k)
+        out = node(scene_, ro_, rd_, settings.depth, settings, k)
+        return out.to_array()
 
     colors = shard_render(scene, ro, rd, key)
     return colors[:R].reshape(cam.vsize, cam.hsize, 3)

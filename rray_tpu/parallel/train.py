@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RenderSettings
 from ..render import integrator
-from ..render.camera import CameraData, all_rays
+from ..render.camera import CameraData, all_rays_soa
 from ..scene import data as sd
 
 
@@ -54,15 +54,22 @@ def merge_scene(params, rest) -> sd.SceneData:
 
 
 def render_loss(params, rest, cam: CameraData, target, settings, key, axis=None):
-    """Mean-squared pixel loss of a full render vs a target image."""
+    """Mean-squared pixel loss of a full render vs a target image.
+
+    Rays stay in SoA component arrays (the single-device hot-path
+    layout); the sharding constraint on each [R] component lets XLA
+    shard the forward AND backward over the mesh, inserting the gradient
+    psum itself."""
     scene = merge_scene(params, rest)
-    ro, rd = all_rays(cam)
+    ro, rd = all_rays_soa(cam)
     if axis is not None:
         spec = NamedSharding(axis[0], P(axis[1]))
-        ro = jax.lax.with_sharding_constraint(ro, spec)
-        rd = jax.lax.with_sharding_constraint(rd, spec)
-    colors = integrator.color_at(scene, ro, rd, settings.depth, settings, key)
-    image = colors.reshape(target.shape)
+        constrain = lambda v: jax.lax.with_sharding_constraint(v, spec)
+        ro = jax.tree_util.tree_map(constrain, ro)
+        rd = jax.tree_util.tree_map(constrain, rd)
+    node = integrator._soa_node_fn(scene)
+    out = node(scene, ro, rd, settings.depth, settings, key)
+    image = out.to_array().reshape(target.shape)
     return jnp.mean((image - target) ** 2)
 
 

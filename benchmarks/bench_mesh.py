@@ -65,8 +65,7 @@ def main(n_lat=40, n_lon=40, width=800, height=600):
     cam = compile_camera(cam_h, dtype)
 
     import dataclasses
-    from rray_tpu.utils.timing import (device_seconds_per_call,
-                                       repeat_with_jitter)
+    from rray_tpu.utils.timing import measure_frame_seconds
     settings = RenderSettings(rows_per_tile=600, max_hits=4,
                               containers_depth=2, tri_chunk=1024)
 
@@ -74,8 +73,7 @@ def main(n_lat=40, n_lon=40, width=800, height=600):
         c = dataclasses.replace(cam, half_width=cam.half_width + jitter * 1e-9)
         return render(scene, c, settings=settings).sum()
 
-    sec = device_seconds_per_call(
-        lambda n: repeat_with_jitter(render_scalar, n), n=201)
+    sec = measure_frame_seconds(render_scalar)
     rays = width * height
     print(json.dumps({"metric": "mesh_primary_rays_per_s",
                       "value": rays / sec, "unit": "rays/s",

@@ -77,3 +77,10 @@ class RenderSettings:
     # bit-exactly; 4 is visually exact on the BASELINE glass scene
     # (max |diff| ~1e-4 in linear color, ~3% of one u8 step; A/B-tested).
     wavefront_capacity: int = 4
+    # Rematerialize the per-level wavefront body under reverse-mode AD
+    # (jax.checkpoint on the scan body). Identity outside jax.grad; under
+    # grad it trades one extra forward per level for not storing every
+    # level's node-eval residuals (together with the compaction's
+    # fixed-permutation VJP: 171x -> 7.9x backward/forward on the glass
+    # scene). Gradients are bit-identical either way.
+    remat: bool = True

@@ -98,20 +98,29 @@ def main():
         import contextlib
         import io
 
-        for cfg in ("2", "3", "4", "5"):
+        def capture(label, fn):
             if time.time() - t0 > budget_s:
-                suite[f"config{cfg}"] = "skipped (budget)"
-                continue
+                suite[label] = "skipped (budget)"
+                return
             buf = io.StringIO()
             try:
                 with contextlib.redirect_stdout(buf):
-                    bench_suite.main([cfg])
-                line = [l for l in buf.getvalue().splitlines()
-                        if l.startswith("{")][-1]
-                rec = json.loads(line)
-                suite[rec["metric"]] = rec["value"]
+                    fn()
+                for line in buf.getvalue().splitlines():
+                    if line.startswith("{"):
+                        rec = json.loads(line)
+                        suite[rec["metric"]] = rec["value"]
             except Exception as e:  # one bad config must not kill the bench
-                suite[f"config{cfg}"] = f"error: {e}"[:200]
+                suite[label] = f"error: {e}"[:200]
+
+        for cfg in ("2", "3", "4", "5"):
+            capture(f"config{cfg}", lambda c=cfg: bench_suite.main([c]))
+        # Named BASELINE metrics: backward/forward time ratio + 1-chip
+        # SPMD (shard_map) efficiency.
+        import bench_grad
+        import bench_scaling
+        capture("bwd_fwd", lambda: bench_grad.main(["1", "2"]))
+        capture("scaling", bench_scaling.main)
     except Exception:
         pass
 

@@ -141,3 +141,55 @@ class TestInverseRendering:
             state, loss = step(state, target, key)
             losses.append(float(loss))
         assert losses[-1] < 0.05 * losses[0], losses[::6]
+
+
+class TestWavefrontGradEquivalence:
+    """The compact wavefront's AD plumbing (jax.checkpoint on the scan
+    body + the compaction sort's fixed-permutation custom VJP) must not
+    change gradient VALUES — remat is an identity, and the permutation
+    VJP is the exact derivative wherever the sort order is locally
+    constant. Pins glass-scene gradients across remat on/off and
+    compact-vs-exhaustive wavefronts."""
+
+    def _glass_setup(self):
+        floor = Shape("plane", material=Material(
+            pattern=Pattern.solid([0.9, 0.9, 0.9]), specular=0.0,
+            reflective=0.1))
+        ball = Shape("sphere", transform=mu.translate(0, 1, 0),
+                     material=Material(pattern=Pattern.solid([0.1, 0.1, 0.1]),
+                                       diffuse=0.1, specular=1.0,
+                                       reflective=0.9, transparency=0.9,
+                                       refractive_index=1.5))
+        light = PointLight(np.array([-10.0, 10.0, -10.0]), np.ones(3))
+        scene = compile_scene([floor, ball], [light], dtype=jnp.float64)
+        cam_h = Camera(16, 12, np.pi / 3)
+        cam_h.transform = mu.view_transform([0, 1.5, -5], [0, 1, 0],
+                                            [0, 1, 0])
+        cam = compile_camera(cam_h, jnp.float64)
+        return scene, cam
+
+    def _grads(self, scene, cam, settings):
+        params, rest = ptrain.partition_scene(scene)
+        g = jax.grad(lambda p: jnp.mean(
+            render(ptrain.merge_scene(p, rest), cam,
+                   settings=settings) ** 2))(params)
+        return [np.asarray(l) for l in jax.tree_util.tree_leaves(g)]
+
+    def test_remat_identity(self):
+        scene, cam = self._glass_setup()
+        base = dataclasses.replace(SET, max_hits=8, containers_depth=4)
+        a = self._grads(scene, cam, dataclasses.replace(base, remat=True))
+        b = self._grads(scene, cam, dataclasses.replace(base, remat=False))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, rtol=1e-12, atol=1e-14)
+
+    def test_compact_full_capacity_matches_scan(self):
+        scene, cam = self._glass_setup()
+        base = dataclasses.replace(SET, max_hits=8, containers_depth=4,
+                                   wavefront_capacity=2 ** SET.depth)
+        a = self._grads(scene, cam, dataclasses.replace(base,
+                                                        wavefront="compact"))
+        b = self._grads(scene, cam, dataclasses.replace(base,
+                                                        wavefront="scan"))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, rtol=1e-9, atol=1e-12)

@@ -162,18 +162,58 @@ def _cone_slots(o: V3, d: V3, ymin, ymax, closed):
 
 
 def _torus_slots(o: V3, d: V3, minor_r):
-    r_sq = minor_r * minor_r
-    sum_d_sq = d.dot(d)
-    e = o.dot(o) - r_sq + 1.0
-    f = o.dot(d)
-    a4 = sum_d_sq * sum_d_sq
-    a3 = 4.0 * sum_d_sq * f
-    a2 = 2.0 * sum_d_sq * e + 4.0 * f * f - 4.0 * (d.x * d.x + d.y * d.y)
-    a1 = 4.0 * e * f - 8.0 * (o.x * d.x + o.y * d.y)
-    a0 = e * e - 4.0 * (o.x * o.x + o.y * o.y)
-    roots, valids = quartic.solve_quartic_parts(a4, a3, a2, a1, a0)
-    # Only t > 0 kept (torus.rs:62-90).
-    return [(r, ok & (r > 0.0)) for r, ok in zip(roots, valids)]
+    # The quartic is by far the most expensive analytic intersection
+    # (Ferrari + trig + Newton polish); gate it on the torus's object-
+    # space AABB (x,y in [-(1+r),1+r], z in [-r,r] — torus faces z,
+    # torus.rs:47-56) so ray batches that miss the box entirely skip it
+    # via lax.cond. The box is padded so the slab test is conservative;
+    # rays inside the box get the exact solver, rays outside are provably
+    # misses.
+    pad = 1e-3
+    rx = 1.0 + minor_r + pad
+    rz = minor_r + pad
+
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) < 1e-30,
+                               jnp.where(c < 0, -1e-30, 1e-30), c)
+
+    ivx, ivy, ivz = inv(d.x), inv(d.y), inv(d.z)
+    tx1 = (-rx - o.x) * ivx
+    tx2 = (rx - o.x) * ivx
+    ty1 = (-rx - o.y) * ivy
+    ty2 = (rx - o.y) * ivy
+    tz1 = (-rz - o.z) * ivz
+    tz2 = (rz - o.z) * ivz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                   jnp.minimum(ty1, ty2)),
+                       jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                   jnp.maximum(ty1, ty2)),
+                       jnp.maximum(tz1, tz2))
+    enter = (tmin <= tmax) & (tmax >= 0.0)
+
+    def full(_):
+        r_sq = minor_r * minor_r
+        sum_d_sq = d.dot(d)
+        e = o.dot(o) - r_sq + 1.0
+        f = o.dot(d)
+        a4 = sum_d_sq * sum_d_sq
+        a3 = 4.0 * sum_d_sq * f
+        a2 = 2.0 * sum_d_sq * e + 4.0 * f * f - 4.0 * (d.x * d.x + d.y * d.y)
+        a1 = 4.0 * e * f - 8.0 * (o.x * d.x + o.y * d.y)
+        a0 = e * e - 4.0 * (o.x * o.x + o.y * o.y)
+        roots, valids = quartic.solve_quartic_parts(a4, a3, a2, a1, a0)
+        # Only t > 0 kept (torus.rs:62-90).
+        return tuple(r for r in roots) + tuple(
+            ok & (r > 0.0) & enter for r, ok in zip(roots, valids))
+
+    def skip(_):
+        z = jnp.zeros_like(o.x)
+        no = jnp.zeros_like(enter)
+        return (z, z, z, z, no, no, no, no)
+
+    outs = jax.lax.cond(jnp.any(enter), full, skip, None)
+    return [(outs[i], outs[4 + i]) for i in range(4)]
 
 
 def _leaf_slots(scene: sd.SceneData, kind: int, row: int, ro: V3, rd: V3):

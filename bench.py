@@ -55,7 +55,7 @@ def main():
                           compile_scene)
     from rray_tpu import mathutils as mu
     from rray_tpu.render.integrator import render
-    from rray_tpu.utils.timing import device_seconds_per_call, repeat_with_jitter
+    from rray_tpu.utils.timing import measure_frame_seconds
 
     dtype = jnp.float32
     width, height = 800, 600
@@ -81,7 +81,11 @@ def main():
         c = dataclasses.replace(cam, half_width=cam.half_width + jitter * 1e-9)
         return render(scene, c, settings=settings).sum()
 
-    sec = device_seconds_per_call(lambda n: repeat_with_jitter(render_scalar, n))
+    # Adaptive rep count (utils/timing.py): a 35 us frame needs ~20k
+    # in-graph reps so tunnel jitter (±10 ms) doesn't dominate, but a
+    # regressed frame must NOT run a fixed huge rep count — single
+    # executions beyond ~10 s crash the tunneled worker.
+    sec = measure_frame_seconds(render_scalar)
     value = width * height / sec
 
     # Hard-path configs (glass wavefront / area light / mesh / CSG) ride
@@ -119,8 +123,12 @@ def main():
         # SPMD (shard_map) efficiency.
         import bench_grad
         import bench_scaling
+        import check_device_parity
         capture("bwd_fwd", lambda: bench_grad.main(["1", "2"]))
         capture("scaling", bench_scaling.main)
+        # On-device kernel-vs-XLA parity: CPU tests can't see TPU-only
+        # numerics (bf16 matmul truncation shipped invisibly once).
+        capture("kernel_parity", check_device_parity.main)
     except Exception:
         pass
 

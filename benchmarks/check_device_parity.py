@@ -1,0 +1,68 @@
+"""On-device parity probe: Pallas triangle kernel vs the XLA f32 path.
+
+CPU-interpret tests cannot see device-only numerics (e.g. the TPU's
+default f32 matmul truncating operands to bf16 — an MXU variant of the
+kernel shipped that way invisibly until this probe was added). Renders
+the teapot scene once with each path on the real backend and reports
+the max linear-color difference; anything beyond ~1e-3 means the kernel
+is misclassifying u/v/t boundary tests.
+
+Run: python benchmarks/check_device_parity.py
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+BASE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, BASE)
+
+TEAPOT = "/root/reference/examples/teapot-low.obj"
+
+
+def main():
+    import jax.numpy as jnp
+
+    from rray_tpu.api import enable_compile_cache
+    enable_compile_cache()
+    from rray_tpu import (Camera, Material, Pattern, PointLight,
+                          RenderSettings, Shape, compile_camera,
+                          compile_scene)
+    from rray_tpu import mathutils as mu
+    from rray_tpu.io.obj_loader import load_obj_file
+    from rray_tpu.render.integrator import render
+
+    if not os.path.exists(TEAPOT):
+        print(json.dumps({"metric": "mesh_kernel_parity_maxdiff",
+                          "value": None, "note": "no teapot fixture"}))
+        return
+
+    f32 = jnp.float32
+    mesh = load_obj_file(TEAPOT, Material(pattern=Pattern.solid(
+        [0.7, 0.5, 0.2])))
+    mesh.transform = mu.compose([mu.rotate_x(-np.pi / 2),
+                                 mu.scale(0.12, 0.12, 0.12)])
+    floor = Shape("plane", material=Material(
+        pattern=Pattern.solid([0.9, 0.9, 0.9]), specular=0.0))
+    light = PointLight(np.array([-10.0, 10.0, -10.0]), np.ones(3))
+    scene = compile_scene([floor, mesh], [light], dtype=f32)
+    cam_h = Camera(200, 150, np.pi / 3)
+    cam_h.transform = mu.view_transform([0, 1.5, -4], [0, 0.7, 0],
+                                        [0, 1, 0])
+    cam = compile_camera(cam_h, f32)
+
+    a = np.asarray(render(scene, cam, settings=RenderSettings(
+        rows_per_tile=150, pallas="on")))
+    b = np.asarray(render(scene, cam, settings=RenderSettings(
+        rows_per_tile=150, pallas="off", tri_chunk=256)))
+    d = np.abs(a - b)
+    print(json.dumps({"metric": "mesh_kernel_parity_maxdiff",
+                      "value": float(d.max()),
+                      "unit": "linear color (tolerance ~1e-3)",
+                      "frac_gt_1e3": float((d > 1e-3).mean()),
+                      "vs_baseline": float(d.max()) / 1e-3}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

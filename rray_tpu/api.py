@@ -115,10 +115,15 @@ def render_scene_progressive(path: str, width: int, height: int,
     camera_spec, lights, shapes = load_scene_file(path)
     scene, cam = _build(camera_spec, lights, shapes, width, height, aa,
                         dtype)
+    prog = None
     if checkpoint_path and os.path.exists(checkpoint_path):
-        prog = ProgressiveRender.resume(checkpoint_path, scene, cam,
-                                        settings, seed, band_rows)
-    else:
+        try:
+            prog = ProgressiveRender.resume(checkpoint_path, scene, cam,
+                                            settings, seed, band_rows)
+        except Exception as e:  # truncated/corrupt checkpoint: start over
+            log.warning("checkpoint %s unreadable (%s); starting fresh",
+                        checkpoint_path, e)
+    if prog is None:
         prog = ProgressiveRender(scene, cam, settings, seed, band_rows,
                                  checkpoint_path)
     image = canvas.downsample(prog.run(), aa)
@@ -153,13 +158,17 @@ def render_resilient(path: str, width: int, height: int, png_file: str,
            "-a", str(aa), "--seed", str(seed),
            "--checkpoint", checkpoint_path, "--band-rows", str(band_rows)]
     last_done = -1
+    rc = 1
     for attempt in range(attempts):
         rc = subprocess.call(cmd)
         if rc == 0:
             return 0
         done = -1
         if os.path.exists(checkpoint_path):
-            done = int(np.load(checkpoint_path)["done"].sum())
+            try:
+                done = int(np.load(checkpoint_path)["done"].sum())
+            except Exception:  # corrupt checkpoint: child will restart
+                done = -1
         log.warning("render attempt %d failed (rc=%d, %d bands done)",
                     attempt + 1, rc, max(done, 0))
         if done <= last_done and attempt:

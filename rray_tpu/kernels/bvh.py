@@ -17,8 +17,11 @@ hierarchy:
   ray's current best t — rays in a block are spatially coherent (tiled
   pixels), so dead subtrees drop for the whole block at once. Leaf
   triangle data lives in **HBM** (memory_space ANY) and is DMA'd into a
-  VMEM scratch buffer per visited leaf, so mesh size is bounded by HBM,
-  not VMEM (the previous kernel held the whole mesh in VMEM).
+  VMEM scratch buffer per visited leaf, so triangle storage is bounded
+  by HBM, not VMEM (the previous kernel held the whole mesh in VMEM).
+  Node AABBs sit in SMEM for dynamic scalar reads, which bounds the
+  tree at 2048 leaves (~512k triangles at the default leaf size — see
+  the assert in `bvh_closest_triangle`).
 
 Intersection semantics match triangle.rs:72-94 (Möller–Trumbore,
 EPSILON determinant cutoff, t >= 0 closest hit); ties resolve to the
@@ -285,6 +288,14 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None,
     packed, nlo, nhi, Lp = build_tree(
         tri_comps[0:3], tri_comps[3:6], tri_comps[6:9],
         normals=tri_comps[9:18] if normals else None, leaf=leaf)
+    # Node boxes ([6, 2*Lp] f32) live in SMEM for dynamic scalar reads;
+    # scalar memory bounds the tree, not HBM. 2048 leaves = 96 KB of
+    # boxes (~512k triangles at leaf=256) — assert instead of failing
+    # opaquely inside Mosaic.
+    assert Lp <= 2048, (
+        f"mesh of {tri_comps[0].shape[0]} triangles needs {Lp} leaves; "
+        f"node boxes exceed the SMEM budget — raise `leaf` or split the "
+        f"mesh")
     NN = 2 * Lp
     if dist is None:
         dist = jnp.full((R,), _INF, jnp.float32)

@@ -335,11 +335,13 @@ def refractive_indices(scene: sd.SceneData, slots: Slots, hit_idx, depth: int):
     """n1/n2 via the containers walk (intersection.rs:61-92), vectorized.
 
     Maintains an ordered container list (append on enter, remove-shift on
-    exit) of size `depth` per ray and reads the last element's refractive
-    index just before/after processing the hit slot."""
+    exit) per ray and reads the last element's refractive index just
+    before/after processing the hit slot. The list is floored at the
+    scene's prim count (membership toggles per prim, so it can never grow
+    past P) — exact for any nesting depth, matching the SoA twin."""
     R, K = slots.t.shape
     dtype = slots.t.dtype
-    cd = depth
+    cd = min(max(int(depth), int(scene.counts[7])), 64)
     arange_cd = jnp.arange(cd)
 
     def top_ior(ids, size):

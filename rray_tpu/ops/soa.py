@@ -547,12 +547,22 @@ def closest_hit_hybrid(scene: sd.SceneData, ro: V3, rd: V3, settings):
     mfound, mt, mprim, mslots = csg_filtered_member_hit(scene, ro, rd)
     better = mfound & (mt < hit.t)
     zero = jnp.zeros_like(hit.u)
+    # Carry the class id through the merge (member prim -> class is
+    # static, a few selects) so downstream shading keeps the gather-free
+    # ClassReader; tri_n passes through untouched — members are analytic
+    # (csg_members_analytic gates this path), so rays where a member won
+    # never read the triangle normal lanes.
+    mcls = jnp.zeros_like(hit.cls)
+    for pid in member_pids(scene):
+        mcls = jnp.where(mprim == pid, scene.prim_class_static[pid], mcls)
     merged = Hit(found=hit.found | mfound,
                  t=jnp.where(better, mt, hit.t),
                  prim=jnp.where(better, mprim, hit.prim),
                  u=jnp.where(better, zero, hit.u),
                  v=jnp.where(better, zero, hit.v),
-                 tri=jnp.where(better, 0, hit.tri))
+                 tri=jnp.where(better, 0, hit.tri),
+                 cls=jnp.where(better, mcls, hit.cls),
+                 tri_n=hit.tri_n)
     return merged, mslots
 
 
@@ -750,14 +760,19 @@ def refractive_indices_soa(scene: sd.SceneData, slots, hit_idx, depth=8):
     the K sorted slots (rays stay in lanes): membership test, remove-with-
     shift, and push are each D masked elementwise ops, so the graph is one
     O(D) body instead of the old O(K^2)..O(K^3) unrolled reductions and
-    the work is O(K*D*R). `depth` bounds simultaneous open containers
-    (settings.containers_depth); deeper nesting drops the overflowing
-    entry, matching the previous bounded-depth semantics."""
+    the work is O(K*D*R). The stack is floored at the scene's prim count:
+    the containers list toggles membership per prim (the reference's
+    remove-by-value, intersection.rs:75-82), so it can never hold more
+    entries than there are prims — with D >= P overflow is unreachable
+    and the walk is exact for ANY nesting depth. (Without the floor, a
+    full-stack enter was dropped and its later exit mis-pushed as an
+    enter.) Capped at 64 to bound graph size on pathological scenes."""
     t, prim, valid = slots[:3]
     K = t.shape[0]
     R = t.shape[1:]
     dtype = t.dtype
     D = max(int(depth) if depth else 8, 1)
+    D = min(max(D, int(scene.counts[7])), 64)
     one = jnp.asarray(1.0, dtype)
 
     # is_hit[k] = (k == hit_idx), shaped [K, R].

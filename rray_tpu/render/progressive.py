@@ -78,8 +78,15 @@ class ProgressiveRender:
 
     def checkpoint(self):
         if self.checkpoint_path:
-            np.savez(self.checkpoint_path, canvas=self.canvas,
-                     done=self.done, band_rows=self.band_rows)
+            # Write-then-rename: a crash mid-write (the very failure this
+            # checkpoint exists for) must not leave a truncated npz that
+            # poisons the next resume.
+            # (np.savez appends .npz to names that lack it, so the temp
+            # name must keep the suffix for os.replace to find it.)
+            tmp = self.checkpoint_path + ".tmp.npz"
+            np.savez(tmp, canvas=self.canvas, done=self.done,
+                     band_rows=self.band_rows)
+            os.replace(tmp, self.checkpoint_path)
 
     def run(self, bands=None) -> np.ndarray:
         """Render the given band indices (default: all unfinished)."""

@@ -54,7 +54,10 @@ def measure_frame_seconds(render_scalar, max_exec_seconds: float = 4.0):
     probe = device_seconds_per_call(
         lambda k: repeat_with_jitter(render_scalar, k), n=16, tries=2)
     est = max(probe, 1e-7)
-    n = max(min(int(max_exec_seconds / est), 2001), 64)
+    # Microsecond frames need tens of thousands of reps: at 2001 reps a
+    # 35 us frame executes for only 70 ms, and ±10 ms of tunnel jitter
+    # put ±15% run-to-run noise on the headline number.
+    n = max(min(int(max_exec_seconds / est), 20001), 64)
     return device_seconds_per_call(
         lambda k: repeat_with_jitter(render_scalar, k), n=n)
 

@@ -232,3 +232,44 @@ class TestRefractiveIndices:
                 scene, slots, jnp.asarray([idx]), SET.containers_depth)
             assert abs(float(n1[0]) - e1) < 1e-9, (idx, float(n1[0]), e1)
             assert abs(float(n2[0]) - e2) < 1e-9, (idx, float(n2[0]), e2)
+
+    def test_deep_nesting_exceeds_configured_depth(self):
+        """Five nested glass spheres with containers_depth=2: the
+        containers stack is floored at the scene's prim count, so a
+        too-small configured depth can't corrupt the walk (a dropped
+        entry's exit used to be mis-pushed as an enter). Both the AoS
+        walk and the SoA scan must produce the exact sequence."""
+        from rray_tpu.ops import soa as soa_mod
+
+        iors = [1.1, 1.2, 1.3, 1.4, 1.5]
+        shapes = [Shape("sphere", transform=mu.scale(s, s, s),
+                        material=Material(transparency=1.0,
+                                          refractive_index=ior))
+                  for s, ior in zip([5, 4, 3, 2, 1], iors)]
+        light = PointLight(np.zeros(3), np.ones(3))
+        scene = compile_scene(shapes, [light], dtype=jnp.float64)
+        ro = jnp.asarray([[0.0, 0.0, -8.0]], jnp.float64)
+        rd = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float64)
+        shallow = RenderSettings(containers_depth=2)
+        slots = hits_mod.gather_sorted_hits(scene, ro, rd, shallow)
+        # Entering: n1 = previous innermost, n2 = this sphere's ior;
+        # exiting (slots 5..9): mirror image.
+        expected = [(1.0, 1.1), (1.1, 1.2), (1.2, 1.3), (1.3, 1.4),
+                    (1.4, 1.5), (1.5, 1.4), (1.4, 1.3), (1.3, 1.2),
+                    (1.2, 1.1), (1.1, 1.0)]
+        for idx, (e1, e2) in enumerate(expected):
+            n1, n2 = hits_mod.refractive_indices(
+                scene, slots, jnp.asarray([idx]), shallow.containers_depth)
+            assert abs(float(n1[0]) - e1) < 1e-9, (idx, float(n1[0]), e1)
+            assert abs(float(n2[0]) - e2) < 1e-9, (idx, float(n2[0]), e2)
+
+        from rray_tpu.ops.vec import V3
+        ro_s = V3(jnp.asarray([0.0]), jnp.asarray([0.0]), jnp.asarray([-8.0]))
+        rd_s = V3(jnp.asarray([0.0]), jnp.asarray([0.0]), jnp.asarray([1.0]))
+        sslots = soa_mod.sorted_slots_soa(scene, ro_s, rd_s)
+        for idx, (e1, e2) in enumerate(expected):
+            n1, n2 = soa_mod.refractive_indices_soa(
+                scene, sslots, jnp.asarray([idx]),
+                shallow.containers_depth)
+            assert abs(float(n1[0]) - e1) < 1e-9, (idx, float(n1[0]), e1)
+            assert abs(float(n2[0]) - e2) < 1e-9, (idx, float(n2[0]), e2)

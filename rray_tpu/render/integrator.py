@@ -72,21 +72,28 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
     rand = jax.random.uniform(key, (2, n, R), dtype=dtype)
     cols = (jnp.arange(n) % level).astype(dtype)
     rows = (jnp.arange(n) // level).astype(dtype)
-    ur = ((cols[:, None] + rand[0]) / level).reshape(n * R)
-    vr = ((rows[:, None] + rand[1]) / level).reshape(n * R)
 
-    def tile(c):
-        return jnp.tile(c, n)
+    # One sample per scan step, [R] wide: the earlier [n*R] tiled batch
+    # materialized ~10 frame-sized arrays per sample set through HBM
+    # (shadow sampling was 84% of the area-light frame); per-step the
+    # whole sample chain fuses. Same PRNG draws, and the sum of 0/1
+    # samples is integer-exact, so results are bit-identical.
+    def body(acc, xs):
+        r0, r1, col, row = xs
+        ur = (col + r0) / level
+        vr = (row + r1) / level
+        pos = V3(light.corner[0] + light.uvec[0] * ur + light.vvec[0] * vr,
+                 light.corner[1] + light.uvec[1] * ur + light.vvec[1] * vr,
+                 light.corner[2] + light.uvec[2] * ur + light.vvec[2] * vr)
+        to_light = pos - over
+        dist = to_light.norm()
+        direction = to_light * (1.0 / jnp.maximum(dist, 1e-30))
+        shadowed = _shadow_test_soa(scene, over, direction, dist, settings)
+        return acc + shadowed.astype(dtype), None
 
-    over_t = V3(tile(over.x), tile(over.y), tile(over.z))
-    pos = V3(light.corner[0] + light.uvec[0] * ur + light.vvec[0] * vr,
-             light.corner[1] + light.uvec[1] * ur + light.vvec[1] * vr,
-             light.corner[2] + light.uvec[2] * ur + light.vvec[2] * vr)
-    to_light = pos - over_t
-    dist = to_light.norm()
-    direction = to_light * (1.0 / jnp.maximum(dist, 1e-30))
-    shadowed = _shadow_test_soa(scene, over_t, direction, dist, settings)
-    return jnp.mean(shadowed.reshape(n, R).astype(dtype), axis=0)
+    acc, _ = jax.lax.scan(body, jnp.zeros(R, dtype),
+                          (rand[0], rand[1], cols, rows))
+    return acc / n
 
 
 def _lighting_soa(scene, reader, base: V3, light, point: V3, eyev: V3,

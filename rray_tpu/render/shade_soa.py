@@ -201,6 +201,14 @@ def _has_image(node) -> bool:
                                  or _has_image(node.a) or _has_image(node.b))
 
 
+def _is_expensive(node) -> bool:
+    """True when the pattern tree contains texture gathers or Perlin
+    octaves — the nodes worth a lax.cond fusion barrier to skip."""
+    return node is not None and (
+        node.ptype in ("image", "noise", "perturbed")
+        or _is_expensive(node.a) or _is_expensive(node.b))
+
+
 def _textured_kinds(scene):
     """Shape kinds whose pattern tree contains an image node (static).
 
@@ -409,18 +417,25 @@ def pattern_at(scene: sd.SceneData, hit: Hit, obj_pts: V3,
 
         # Patterns are screen-local (a texture lives on one object), so
         # a whole ray tile often holds no ray of pattern i: lax.cond
-        # skips the tree — incl. texture gathers and Perlin octaves —
-        # for that tile entirely (the masked select discards the values
-        # anyway; measured 1.2x on the 1080p CSG-showcase frame).
-        def eval_root(_, root=root):
-            c = eval_pattern(root, obj_pts, uv_ctx)
-            return c.x, c.y, c.z
+        # skips EXPENSIVE trees — texture gathers, Perlin octaves — for
+        # that tile entirely (the masked select discards the values
+        # anyway; measured 1.2x on the 1080p CSG-showcase frame). Cheap
+        # trees evaluate unconditionally: a cond is an XLA fusion
+        # barrier, and wrapping a few-op checker cost 2x on the 35 us
+        # sphere frame.
+        if _is_expensive(root):
+            def eval_root(_, root=root):
+                c = eval_pattern(root, obj_pts, uv_ctx)
+                return c.x, c.y, c.z
 
-        def skip(_):
-            z = jnp.zeros_like(obj_pts.x)
-            return z, z, z
+            def skip(_):
+                z = jnp.zeros_like(obj_pts.x)
+                return z, z, z
 
-        cx, cy, cz = jax.lax.cond(jnp.any(m), eval_root, skip, None)
-        out = V3(jnp.where(m, cx, out.x), jnp.where(m, cy, out.y),
-                 jnp.where(m, cz, out.z))
+            cx, cy, cz = jax.lax.cond(jnp.any(m), eval_root, skip, None)
+            color = V3(cx, cy, cz)
+        else:
+            color = eval_pattern(root, obj_pts, uv_ctx)
+        out = V3(jnp.where(m, color.x, out.x), jnp.where(m, color.y, out.y),
+                 jnp.where(m, color.z, out.z))
     return out

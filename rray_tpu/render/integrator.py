@@ -779,10 +779,11 @@ def _tile_rays(scene: sd.SceneData, cam: CameraData,
         rows = min(rows, max(max_rays // cam.hsize, 1))
     T = scene.counts[6]
     if T:
+        # Shadow sampling runs one area-light sample per scan step at [R]
+        # width, so the bound is the [R, chunk] triangle intermediate
+        # alone (the old [samples*R] shadow batch is gone).
         chunk = min(settings.tri_chunk, T)
-        samples = max([1] + [l.level ** 2 for l in scene.lights
-                             if l.kind == "area"])
-        max_rays = max(settings.max_rc_elems // (chunk * samples), 1)
+        max_rays = max(settings.max_rc_elems // chunk, 1)
         rows = min(rows, max(max_rays // cam.hsize, 1))
     return max(rows * cam.hsize, 1)
 

@@ -196,17 +196,20 @@ def normal_at(scene: sd.SceneData, hit: Hit, world_pt: V3,
     return world_n
 
 
+def _contains(node, ptypes) -> bool:
+    return node is not None and (node.ptype in ptypes
+                                 or _contains(node.a, ptypes)
+                                 or _contains(node.b, ptypes))
+
+
 def _has_image(node) -> bool:
-    return node is not None and (node.ptype == "image"
-                                 or _has_image(node.a) or _has_image(node.b))
+    return _contains(node, ("image",))
 
 
 def _is_expensive(node) -> bool:
     """True when the pattern tree contains texture gathers or Perlin
     octaves — the nodes worth a lax.cond fusion barrier to skip."""
-    return node is not None and (
-        node.ptype in ("image", "noise", "perturbed")
-        or _is_expensive(node.a) or _is_expensive(node.b))
+    return _contains(node, ("image", "noise", "perturbed"))
 
 
 def _textured_kinds(scene):

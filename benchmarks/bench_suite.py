@@ -93,7 +93,7 @@ def main(which):
                                             [0, 1, 0])
         cam = compile_camera(cam_h, f32)
         bench_scene("config4_mesh", scene, cam,
-                    RenderSettings(rows_per_tile=75, max_hits=4,
+                    RenderSettings(rows_per_tile=600, max_hits=4,
                                    containers_depth=2))
     if "5" in which:  # CSG + torus + group + texture, 1920x1080
         scene, cam = load(os.path.join(ex, "csg_showcase.yaml"), 1920, 1080,

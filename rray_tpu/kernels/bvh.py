@@ -179,6 +179,15 @@ def _traverse_kernel(Lp, leaf, any_hit, normals,
         ok = ok & (tt >= 0.0)
         tt = jnp.where(ok, tt, _INF)
 
+        if any_hit:
+            # Occlusion only: no payload selection (argmin/one-hot are 7
+            # cross-lane reductions — the bulk of a leaf's cost). A hit
+            # inside the range pins best-t to 0 so the traversal's
+            # `bt < limit` early-exit and the caller's `t < dist` test
+            # both see it.
+            row_hit = jnp.any(tt < limit[:, None], axis=1)
+            return (jnp.where(row_hit, 0.0, bt), bu, bv, bi)
+
         local = jnp.argmin(tt, axis=1).astype(jnp.int32)
         ct = jnp.min(tt, axis=1)
         col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
@@ -285,6 +294,7 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None,
     R = ro_comps[0].shape[0]
     assert R % BR == 0, R
     normals = len(tri_comps) == 18
+    assert not (any_hit and normals), "any-hit reports no payload"
     packed, nlo, nhi, Lp = build_tree(
         tri_comps[0:3], tri_comps[3:6], tri_comps[6:9],
         normals=tri_comps[9:18] if normals else None, leaf=leaf)

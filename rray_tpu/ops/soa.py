@@ -291,29 +291,12 @@ def _use_pallas(settings, dtype) -> bool:
     return False
 
 
-def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings,
-                          distance=None, any_hit: bool = False,
-                          normals: bool = False):
-    """Closest (or bounded any-) triangle hit via a fused Pallas kernel
-    -> (t, u, v, prim, tri[, cls, (nx, ny, nz)]).
-
-    Meshes with >= settings.bvh_min_tris triangles traverse the implicit
-    LBVH (`kernels/bvh.py` — leaf data DMA'd from HBM, so mesh size is
-    HBM-bounded); smaller ones use the VMEM-resident linear-chunk kernel
-    (`kernels/triangles.py`, lower fixed cost). `distance` ([R]) bounds
-    the search for shadow rays; with any_hit=True the BVH stops a ray
-    block as soon as every ray has a hit inside `distance`. With
-    normals=True the kernel also interpolates the winning triangle's
-    world vertex normal and the shade class (both of which would
-    otherwise cost serial per-ray gathers downstream).
-    """
-    from ..kernels import bvh as kbvh
+def _pad_tri_kernel_inputs(scene, ro, rd, normals):
+    """Common ray/triangle padding for the Pallas triangle kernels."""
     from ..kernels import triangles as ktri
 
     T = scene.counts[6]
     R = ro.x.shape[0]
-    interpret = getattr(settings, "pallas", "off") == "interpret"
-    use_bvh = T >= getattr(settings, "bvh_min_tris", 1024)
     padR = (-R) % ktri.BR
 
     def padr(c, fill=0.0):
@@ -323,25 +306,81 @@ def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings,
     rd_c = (padr(rd.x), padr(rd.y), padr(rd.z))
     geom = (scene.tri_p1, scene.tri_e1, scene.tri_e2)
     ntabs = (scene.tri_n1, scene.tri_n2, scene.tri_n3) if normals else ()
+    padT = (-T) % ktri.chunk_size(T)
+
+    def padt(c, fill=0.0):
+        return jnp.pad(c, (0, padT), constant_values=fill) if padT else c
+
+    # Pad p1 far away (zero edges) so padded chunks cull cleanly; the
+    # BVH build does its own padding so it takes the unpadded columns.
+    tri_lin = tuple(padt(tbl[:, j], fill=(ktri._FAR if k == 0 else 0.0))
+                    for k, tbl in enumerate(geom + ntabs)
+                    for j in range(3))
+    tri_bvh = tuple(tbl[:, j] for tbl in geom + ntabs for j in range(3))
+    return ro_c, rd_c, tri_lin, tri_bvh, padr
+
+
+def _pallas_triangle_any(scene: sd.SceneData, ro: V3, rd: V3, settings,
+                         distance):
+    """Bounded any-hit (shadow occlusion) via a Pallas kernel -> bool [R].
+
+    The linear-chunk any-hit kernel skips the closest-hit payload
+    machinery entirely (one any-reduction per chunk) and the distance
+    cap tightens its AABB cull; the BVH path stops a ray block as soon
+    as every ray has a hit inside `distance`."""
+    from ..kernels import bvh as kbvh
+    from ..kernels import triangles as ktri
+
+    T = scene.counts[6]
+    R = ro.x.shape[0]
+    interpret = getattr(settings, "pallas", "off") == "interpret"
+    ro_c, rd_c, tri_lin, tri_bvh, padr = _pad_tri_kernel_inputs(
+        scene, ro, rd, normals=False)
+    # Padding rays carry dist 0: the kernels treat them as already
+    # satisfied so they don't block block-level early exit.
+    dist = padr(distance, 0.0)
+    if T >= getattr(settings, "bvh_min_tris", 1024):
+        ct = kbvh.bvh_closest_triangle(ro_c, rd_c, tri_bvh, dist=dist,
+                                       any_hit=True, interpret=interpret)[0]
+        return (ct < dist)[:R]
+    hit = ktri.any_triangle(ro_c, rd_c, tri_lin, dist, interpret=interpret)
+    return hit[:R] != 0
+
+
+def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings,
+                          normals: bool = False, t_init=None):
+    """Closest triangle hit via a fused Pallas kernel
+    -> (t, u, v, prim, tri[, cls, (nx, ny, nz)]).
+
+    Meshes with >= settings.bvh_min_tris triangles traverse the implicit
+    LBVH (`kernels/bvh.py` — leaf data DMA'd from HBM, so mesh size is
+    HBM-bounded); smaller ones use the VMEM-resident linear-chunk kernel
+    (`kernels/triangles.py`, lower fixed cost). `t_init` ([R]) seeds the
+    running best-t with the analytic-primitive hit so chunks/subtrees
+    behind an already-found surface are culled. With normals=True the
+    kernel also interpolates the winning triangle's world vertex normal
+    and the shade class (both of which would otherwise cost serial
+    per-ray gathers downstream).
+    """
+    from ..kernels import bvh as kbvh
+    from ..kernels import triangles as ktri
+
+    T = scene.counts[6]
+    R = ro.x.shape[0]
+    interpret = getattr(settings, "pallas", "off") == "interpret"
+    use_bvh = T >= getattr(settings, "bvh_min_tris", 1024)
+    ro_c, rd_c, tri_lin, tri_bvh, padr = _pad_tri_kernel_inputs(
+        scene, ro, rd, normals)
+    seed = None if t_init is None else padr(t_init, fill=_INF)
     if use_bvh:
-        tri_c = tuple(tbl[:, j] for tbl in geom + ntabs for j in range(3))
-        # Padding rays carry dist 0: the any-hit kernel treats them as
-        # already satisfied so they don't block block-level early exit.
-        dist = None if distance is None else padr(distance, 0.0)
-        outs = kbvh.bvh_closest_triangle(ro_c, rd_c, tri_c,
-                                         dist=dist, any_hit=any_hit,
-                                         interpret=interpret)
+        # The BVH bounds closest-hit traversal at min(best, dist): a
+        # subtree is skipped iff entry is behind the seed — hits it does
+        # report are exact, and seed-beaten leaves merge away below.
+        outs = kbvh.bvh_closest_triangle(ro_c, rd_c, tri_bvh,
+                                         dist=seed, interpret=interpret)
     else:
-        padT = (-T) % ktri.chunk_size(T)
-
-        def padt(c, fill=0.0):
-            return jnp.pad(c, (0, padT), constant_values=fill) if padT else c
-
-        # Pad p1 far away (zero edges) so padded chunks cull cleanly.
-        tri_c = tuple(padt(tbl[:, j], fill=(ktri._FAR if k == 0 else 0.0))
-                      for k, tbl in enumerate(geom + ntabs)
-                      for j in range(3))
-        outs = ktri.closest_triangle(ro_c, rd_c, tri_c, interpret=interpret)
+        outs = ktri.closest_triangle(ro_c, rd_c, tri_lin, t_init=seed,
+                                     interpret=interpret)
     t, u, v, idx = (o[:R] for o in outs[:4])
     idx = jnp.minimum(idx, T - 1)
     prim = jnp.take(scene.tri_prim, idx)
@@ -407,7 +446,7 @@ def closest_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, settings,
     T = scene.counts[6]
     if T and _use_pallas(settings, dtype):
         ct, cu, cv, cp, ctri, ccls, cn = _pallas_triangle_best(
-            scene, ro, rd, settings, normals=True)
+            scene, ro, rd, settings, normals=True, t_init=best_t)
         better = ct < best_t
         best_t = jnp.where(better, ct, best_t)
         best_prim = jnp.where(better, cp, best_prim)
@@ -981,10 +1020,7 @@ def any_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, distance, settings,
 
     T = scene.counts[6]
     if T and _use_pallas(settings, ro.dtype):
-        ct, _, _, _, _ = _pallas_triangle_best(scene, ro, rd, settings,
-                                               distance=distance,
-                                               any_hit=True)
-        hit = hit | (ct < distance)
+        hit = hit | _pallas_triangle_any(scene, ro, rd, settings, distance)
     elif T:
         n_chunks, chunk, p1, e1, e2, pid, live = _tri_chunks(
             scene, min(settings.tri_chunk, max(T, 1)))

@@ -778,10 +778,12 @@ def _tile_rays(scene: sd.SceneData, cam: CameraData,
                            // (8 * 2 ** settings.depth), 1)
         rows = min(rows, max(max_rays // cam.hsize, 1))
     T = scene.counts[6]
-    if T:
+    if T and not soa._use_pallas(settings, cam.inv.dtype):
         # Shadow sampling runs one area-light sample per scan step at [R]
         # width, so the bound is the [R, chunk] triangle intermediate
-        # alone (the old [samples*R] shadow batch is gone).
+        # alone (the old [samples*R] shadow batch is gone). The Pallas
+        # kernels keep the ray/triangle products in VMEM — no [R, chunk]
+        # HBM intermediate exists, so only the XLA fallback needs the cap.
         chunk = min(settings.tri_chunk, T)
         max_rays = max(settings.max_rc_elems // chunk, 1)
         rows = min(rows, max(max_rays // cam.hsize, 1))

@@ -227,3 +227,56 @@ class TestBVH:
                                                 any_hit=True, interpret=True)
         np.testing.assert_array_equal(np.asarray(at) < 25.0,
                                       np.where(hit, lt, np.inf) < 25.0)
+
+
+class TestLinearKernelVariants:
+    """Shadow any-hit and seed-culled closest-hit forms of the linear
+    chunk kernel (kernels/triangles.py) vs the plain closest kernel."""
+
+    def _fixtures(self):
+        rng = np.random.default_rng(3)
+        R, T = 512, 256
+        ro = tuple(jnp.asarray(
+            rng.uniform(-2, 2, R).astype(np.float32)) for _ in range(3))
+        d = rng.uniform(-1, 1, (3, R)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=0, keepdims=True)
+        rd = tuple(jnp.asarray(c) for c in d)
+        tri = tuple(jnp.asarray(rng.uniform(-3, 3, T).astype(np.float32))
+                    for _ in range(9))
+        return ro, rd, tri
+
+    def test_any_hit_matches_closest_threshold(self):
+        """occluded == (closest t < dist), the reference's shadow rule
+        hit.t < distance (scene.rs:234-245)."""
+        from rray_tpu.kernels import triangles as ktri
+
+        ro, rd, tri = self._fixtures()
+        t0 = np.asarray(ktri.closest_triangle(ro, rd, tri,
+                                              interpret=True)[0])
+        rng = np.random.default_rng(4)
+        dist = jnp.asarray(
+            rng.uniform(0.0, 8.0, ro[0].shape[0]).astype(np.float32))
+        hit = np.asarray(ktri.any_triangle(ro, rd, tri, dist,
+                                           interpret=True))
+        np.testing.assert_array_equal(hit != 0, t0 < np.asarray(dist))
+
+    def test_seeded_closest_merges_exactly(self):
+        """With a t_init seed, merging kernel output against the seed by
+        strict `<` must equal the unseeded merge (chunk culling may
+        drop hits behind the seed, never in front of it)."""
+        from rray_tpu.kernels import triangles as ktri
+
+        ro, rd, tri = self._fixtures()
+        t0, u0, v0, i0 = (np.asarray(o) for o in ktri.closest_triangle(
+            ro, rd, tri, interpret=True))
+        rng = np.random.default_rng(5)
+        seed = rng.uniform(0.5, 6.0, ro[0].shape[0]).astype(np.float32)
+        ts, us, vs, isx = (np.asarray(o) for o in ktri.closest_triangle(
+            ro, rd, tri, t_init=jnp.asarray(seed), interpret=True))
+        tri_wins = t0 < seed
+        merged_t = np.where(ts < seed, ts, seed)
+        np.testing.assert_allclose(
+            merged_t, np.where(tri_wins, t0, seed), rtol=1e-6)
+        assert (isx[ts < seed] == i0[ts < seed]).all()
+        np.testing.assert_allclose(us[ts < seed], u0[ts < seed], rtol=1e-6)
+        np.testing.assert_allclose(vs[ts < seed], v0[ts < seed], rtol=1e-6)

@@ -57,11 +57,31 @@ def main():
     b = np.asarray(render(scene, cam, settings=RenderSettings(
         rows_per_tile=150, pallas="off", tri_chunk=256)))
     d = np.abs(a - b)
-    print(json.dumps({"metric": "mesh_kernel_parity_maxdiff",
-                      "value": float(d.max()),
-                      "unit": "linear color (tolerance ~1e-3)",
-                      "frac_gt_1e3": float((d > 1e-3).mean()),
-                      "vs_baseline": float(d.max()) / 1e-3}), flush=True)
+    out = {"metric": "mesh_kernel_parity_maxdiff",
+           "value": float(d.max()),
+           "unit": "linear color (tolerance ~1e-3)",
+           "frac_gt_1e3": float((d > 1e-3).mean()),
+           "vs_baseline": float(d.max()) / 1e-3}
+
+    # Same probe through the BVH kernel: teapot-low (240 tris) runs the
+    # linear-chunk kernel, so without this the production >=1024-tri
+    # path (bvh_closest_triangle) never touches the real device outside
+    # benches. The full teapot fans to 6320 triangles.
+    full = os.path.join(os.path.dirname(TEAPOT), "teapot.obj")
+    if os.path.exists(full):
+        mesh = load_obj_file(full, Material(pattern=Pattern.solid(
+            [0.7, 0.5, 0.2])))
+        mesh.transform = mu.compose([mu.rotate_x(-np.pi / 2),
+                                     mu.scale(0.05, 0.05, 0.05)])
+        scene = compile_scene([floor, mesh], [light], dtype=f32)
+        a = np.asarray(render(scene, cam, settings=RenderSettings(
+            rows_per_tile=150, pallas="on")))
+        b = np.asarray(render(scene, cam, settings=RenderSettings(
+            rows_per_tile=150, pallas="off", tri_chunk=256)))
+        db = np.abs(a - b)
+        out["bvh_kernel_parity_maxdiff"] = float(db.max())
+        out["bvh_frac_gt_1e3"] = float((db > 1e-3).mean())
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -289,7 +289,14 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None,
     9-tuple of [T] f32 (p1xyz, e1xyz, e2xyz) in Morton order. `dist`
     ([R], optional) bounds the search for shadow rays; with
     any_hit=True traversal stops once every ray in the block has a hit
-    inside `dist`. Returns (t, u, v, tri_index); misses carry t=+inf.
+    inside `dist`.
+
+    Returns (t, u, v, tri_index) (plus (nx, ny, nz) when tri_comps
+    carries the 9 normal columns). Closest-hit: misses carry t=+inf and
+    u/v/tri_index belong to the winning triangle. any_hit=True returns
+    an occlusion sentinel instead of a payload: t is pinned to 0 when
+    some triangle lies inside `dist` (so `t < dist` tests occlusion) and
+    +inf otherwise; u/v/tri_index are meaningless zeros.
     """
     R = ro_comps[0].shape[0]
     assert R % BR == 0, R

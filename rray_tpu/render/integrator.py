@@ -778,12 +778,15 @@ def _tile_rays(scene: sd.SceneData, cam: CameraData,
                            // (8 * 2 ** settings.depth), 1)
         rows = min(rows, max(max_rays // cam.hsize, 1))
     T = scene.counts[6]
-    if T and not soa._use_pallas(settings, cam.inv.dtype):
+    mesh_in_csg = bool(scene.csg_ops) and not soa.csg_members_analytic(scene)
+    if T and (mesh_in_csg or not soa._use_pallas(settings, cam.inv.dtype)):
         # Shadow sampling runs one area-light sample per scan step at [R]
         # width, so the bound is the [R, chunk] triangle intermediate
         # alone (the old [samples*R] shadow batch is gone). The Pallas
         # kernels keep the ray/triangle products in VMEM — no [R, chunk]
-        # HBM intermediate exists, so only the XLA fallback needs the cap.
+        # HBM intermediate exists — but a mesh inside a CSG still routes
+        # through sorted_slots_full_soa/any_hit_sorted_soa, whose XLA
+        # [R, chunk] HBM intermediates need the cap even with Pallas on.
         chunk = min(settings.tri_chunk, T)
         max_rays = max(settings.max_rc_elems // chunk, 1)
         rows = min(rows, max(max_rays // cam.hsize, 1))

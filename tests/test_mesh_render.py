@@ -228,6 +228,41 @@ class TestBVH:
         np.testing.assert_array_equal(np.asarray(at) < 25.0,
                                       np.where(hit, lt, np.inf) < 25.0)
 
+    def test_bvh_seeded_closest_merges_exactly(self):
+        """BVH analogue of the linear-kernel seed test: with dist=seed
+        (the production closest-hit-with-seed path, soa.py
+        `_pallas_triangle_best`), subtrees behind the seed may be
+        culled, so hits behind it can be dropped — but merging kernel
+        output against the seed by strict `<` must equal the unseeded
+        merge, with identical winning payloads."""
+        from rray_tpu.kernels import bvh as kbvh
+
+        rng = np.random.default_rng(11)
+        T, R = 1536, 512  # >= bvh_min_tris (1024), not a leaf multiple
+        centers = rng.uniform(-12, 12, (3, T)).astype(np.float32)
+        p1 = centers + rng.uniform(-0.3, 0.3, (3, T)).astype(np.float32)
+        e1 = rng.uniform(-0.6, 0.6, (3, T)).astype(np.float32)
+        e2 = rng.uniform(-0.6, 0.6, (3, T)).astype(np.float32)
+        tri = tuple(jnp.asarray(c) for c in (*p1, *e1, *e2))
+        ro = tuple(jnp.asarray(
+            rng.uniform(-1, 1, R).astype(np.float32)) for _ in range(3))
+        d = rng.uniform(-1, 1, (3, R)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=0, keepdims=True)
+        rd = tuple(jnp.asarray(c) for c in d)
+
+        t0, u0, v0, i0 = (np.asarray(o) for o in kbvh.bvh_closest_triangle(
+            ro, rd, tri, interpret=True))
+        seed = rng.uniform(1.0, 30.0, R).astype(np.float32)
+        ts, us, vs, isx = (np.asarray(o) for o in kbvh.bvh_closest_triangle(
+            ro, rd, tri, dist=jnp.asarray(seed), interpret=True))
+        tri_wins = t0 < seed
+        np.testing.assert_allclose(np.where(ts < seed, ts, seed),
+                                   np.where(tri_wins, t0, seed), rtol=1e-6)
+        win = ts < seed
+        assert (isx[win] == i0[win]).all()
+        np.testing.assert_allclose(us[win], u0[win], rtol=1e-6)
+        np.testing.assert_allclose(vs[win], v0[win], rtol=1e-6)
+
 
 class TestLinearKernelVariants:
     """Shadow any-hit and seed-culled closest-hit forms of the linear

@@ -23,6 +23,15 @@ hierarchy:
   tree at 2048 leaves (~512k triangles at the default leaf size — see
   the assert in `bvh_closest_triangle`).
 
+Layout and control flow follow kernels/triangles.py: the [leaf, BR]
+intersection tiles keep rays in lanes and triangles in sublanes (the
+triangle table is packed [Tp, 16|24], so leaf columns read natively and
+the hit reductions run along the cheap sublane axis), the best-hit
+state lives in the output refs, and the leaf body runs under `pl.when`
+— `jax.lax.cond` with vector carries is flattened by Mosaic to
+both-branches + select, which would execute a full leaf intersection
+at every *inner* node visit as well.
+
 Intersection semantics match triangle.rs:72-94 (Möller–Trumbore,
 EPSILON determinant cutoff, t >= 0 closest hit); ties resolve to the
 lowest triangle index like the stable sort + first-hit rule
@@ -39,9 +48,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import EPSILON
+from .triangles import _inv_dir, _ray_slab
 
 BR = 512          # rays per program (block)
-LEAF = 256        # triangles per leaf (lane-aligned)
+LEAF = 256        # triangles per leaf (sublane-aligned)
 STACK = 64        # traversal stack bound (>= tree depth + 1)
 
 _INF = float("inf")
@@ -63,9 +73,10 @@ def build_tree(p1, e1, e2, normals=None, leaf: int = LEAF):
     p1/e1/e2: 3-tuples of [T] component arrays (SoA); `normals` an
     optional 9-tuple (n1xyz, n2xyz, n3xyz) packed alongside so traversal
     can interpolate the winning normal in-kernel. Returns (packed
-    [16|24, Tp] f32 triangle table, 6 node-box arrays each [2*Lp], Lp).
-    Node 0 is unused; real leaves have tight boxes, padding leaves
-    inverted (+inf/-inf) boxes.
+    [Tp, 16|24] f32 triangle table — triangles in sublanes, components
+    in lanes — 6 node-box arrays each [2*Lp], Lp). Node 0 is unused;
+    real leaves have tight boxes, padding leaves inverted (+inf/-inf)
+    boxes.
     """
     T = p1[0].shape[0]
     Lp, Tp = tree_sizes(T, leaf)
@@ -79,11 +90,13 @@ def build_tree(p1, e1, e2, normals=None, leaf: int = LEAF):
                            if normals else ()):
         for j in range(3):
             comps.append(jnp.concatenate(
-                [src[j].astype(jnp.float32), jnp.zeros((pad,), jnp.float32)]))
-    # Pad the row count to a multiple of 8 (DMA slices must be 8-row
-    # aligned on the sublane axis): 9 -> 16, 18 -> 24.
-    comps += [jnp.zeros((Tp,), jnp.float32)] * (-len(comps) % 8)
-    packed = jnp.stack(comps, axis=0)  # [16|24, Tp]
+                [src[j].astype(jnp.float32), jnp.zeros((Tp - T,),
+                                                       jnp.float32)]))
+    # Pad the component count (lane axis) to the 128-lane tile: Mosaic
+    # requires DMA slice widths 128-aligned, and HBM stores the table
+    # lane-padded to 128 regardless, so this costs nothing extra
+    # (512 B/triangle total).
+    ncomp = 128
 
     # Leaf AABBs over the three vertices; padding tris sit at _FAR with
     # zero extent, so padded leaves (and mixed tails) stay finite but
@@ -92,13 +105,16 @@ def build_tree(p1, e1, e2, normals=None, leaf: int = LEAF):
     live = (jnp.arange(Tp) < T).reshape(Lp, leaf)
     any_live = live.any(axis=1)
     for j in range(3):
-        v1 = packed[j].reshape(Lp, leaf)
-        v2 = v1 + packed[3 + j].reshape(Lp, leaf)
-        v3 = v1 + packed[6 + j].reshape(Lp, leaf)
+        v1 = comps[j].reshape(Lp, leaf)
+        v2 = v1 + comps[3 + j].reshape(Lp, leaf)
+        v3 = v1 + comps[6 + j].reshape(Lp, leaf)
         mn = jnp.where(live, jnp.minimum(jnp.minimum(v1, v2), v3), _INF)
         mx = jnp.where(live, jnp.maximum(jnp.maximum(v1, v2), v3), -_INF)
         lo.append(jnp.where(any_live, mn.min(axis=1), _INF))
         hi.append(jnp.where(any_live, mx.max(axis=1), -_INF))
+
+    packed = jnp.zeros((Tp, ncomp), jnp.float32)
+    packed = packed.at[:, :len(comps)].set(jnp.stack(comps, axis=1))
 
     # Bottom-up union into the heap: levels are static (Lp is static).
     nodes_lo = [None] * 3
@@ -126,38 +142,37 @@ def _traverse_kernel(Lp, leaf, any_hit, normals,
          tri_vmem, sem, stack) = refs
     else:
         t_ref, u_ref, v_ref, idx_ref, tri_vmem, sem, stack = refs
-    ox = rox[0, :][:, None]
-    oy = roy[0, :][:, None]
-    oz = roz[0, :][:, None]
-    dx = rdx[0, :][:, None]
-    dy = rdy[0, :][:, None]
-    dz = rdz[0, :][:, None]
-
-    def inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
-                               jnp.where(d < 0, -1e-30, 1e-30), d)
-
-    ix, iy, iz = inv(dx[:, 0]), inv(dy[:, 0]), inv(dz[:, 0])
-    rx0, ry0, rz0 = ox[:, 0], oy[:, 0], oz[:, 0]
+    # Rays stay in lanes; [1, BR] rows broadcast along sublanes for free.
+    ox = rox[0, :][None, :]
+    oy = roy[0, :][None, :]
+    oz = roz[0, :][None, :]
+    dx = rdx[0, :][None, :]
+    dy = rdy[0, :][None, :]
+    dz = rdz[0, :][None, :]
+    ix, iy, iz = _inv_dir(rdx[0, :]), _inv_dir(rdy[0, :]), _inv_dir(rdz[0, :])
+    rx0, ry0, rz0 = rox[0, :], roy[0, :], roz[0, :]
     R = rx0.shape[0]
     limit = dist[0, :]  # any-hit range (closest-hit passes +inf)
 
-    def mt_leaf(ci, carry):
+    t_ref[0, :] = jnp.full((R,), _INF, jnp.float32)
+    u_ref[0, :] = jnp.zeros((R,), jnp.float32)
+    v_ref[0, :] = jnp.zeros((R,), jnp.float32)
+    idx_ref[0, :] = jnp.zeros((R,), jnp.int32)
+    if normals:
+        nx_ref[0, :] = jnp.zeros((R,), jnp.float32)
+        ny_ref[0, :] = jnp.zeros((R,), jnp.float32)
+        nz_ref[0, :] = jnp.zeros((R,), jnp.float32)
+
+    def mt_leaf(ci):
         """DMA leaf ci's triangles HBM->VMEM, fold its closest hits."""
-        bt, bu, bv, bi = carry[:4]
         dma = pltpu.make_async_copy(
-            tri_hbm.at[:, pl.ds(ci * leaf, leaf)], tri_vmem, sem)
+            tri_hbm.at[pl.ds(ci * leaf, leaf), :], tri_vmem, sem)
         dma.start()
         dma.wait()
-        tp1x = tri_vmem[0, :][None, :]
-        tp1y = tri_vmem[1, :][None, :]
-        tp1z = tri_vmem[2, :][None, :]
-        te1x = tri_vmem[3, :][None, :]
-        te1y = tri_vmem[4, :][None, :]
-        te1z = tri_vmem[5, :][None, :]
-        te2x = tri_vmem[6, :][None, :]
-        te2y = tri_vmem[7, :][None, :]
-        te2z = tri_vmem[8, :][None, :]
+        col = lambda k: tri_vmem[:, k][:, None]   # [leaf, 1] native
+        tp1x, tp1y, tp1z = col(0), col(1), col(2)
+        te1x, te1y, te1z = col(3), col(4), col(5)
+        te2x, te2y, te2z = col(6), col(7), col(8)
 
         cx = dy * te2z - dz * te2y
         cy = dz * te2x - dx * te2z
@@ -180,69 +195,54 @@ def _traverse_kernel(Lp, leaf, any_hit, normals,
         tt = jnp.where(ok, tt, _INF)
 
         if any_hit:
-            # Occlusion only: no payload selection (argmin/one-hot are 7
-            # cross-lane reductions — the bulk of a leaf's cost). A hit
-            # inside the range pins best-t to 0 so the traversal's
-            # `bt < limit` early-exit and the caller's `t < dist` test
-            # both see it.
-            row_hit = jnp.any(tt < limit[:, None], axis=1)
-            return (jnp.where(row_hit, 0.0, bt), bu, bv, bi)
+            # Occlusion only: no payload selection. A hit inside the
+            # range pins best-t to 0 so the traversal's early-exit and
+            # the caller's `t < dist` test both see it.
+            row_hit = jnp.any(tt < limit[None, :], axis=0)
+            t_ref[0, :] = jnp.where(row_hit, 0.0, t_ref[0, :])
+            return
 
-        local = jnp.argmin(tt, axis=1).astype(jnp.int32)
-        ct = jnp.min(tt, axis=1)
-        col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
-        onehot = col == local[:, None]
-        take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=1)
+        ct = jnp.min(tt, axis=0)                  # [BR] over sublanes
+        row = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+        local = jnp.min(jnp.where(tt == ct[None, :], row, leaf), axis=0)
+        onehot = row == local[None, :]
+        take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=0)
+        bt = t_ref[0, :]
         better = ct < bt
-        out = (jnp.where(better, ct, bt),
-               jnp.where(better, take(uu), bu),
-               jnp.where(better, take(vv), bv),
-               jnp.where(better, ci * leaf + local, bi))
+        t_ref[0, :] = jnp.where(better, ct, bt)
+        u_ref[0, :] = jnp.where(better, take(uu), u_ref[0, :])
+        v_ref[0, :] = jnp.where(better, take(vv), v_ref[0, :])
+        idx_ref[0, :] = jnp.where(better, ci * leaf + local, idx_ref[0, :])
         if normals:
-            # Interpolated world vertex normal (rows 9-17), in-kernel:
+            # Interpolated world vertex normal (columns 9-17), in-kernel:
             # avoids per-ray table gathers downstream (flat triangles
             # store n1=n2=n3=nflat, so one formula serves both).
             wu = jnp.where(onehot, uu, 0.0)
             wv = jnp.where(onehot, vv, 0.0)
             w1 = jnp.where(onehot, 1.0 - uu - vv, 0.0)
             nsel = lambda r: jnp.sum(
-                w1 * tri_vmem[9 + r, :][None, :]
-                + wu * tri_vmem[12 + r, :][None, :]
-                + wv * tri_vmem[15 + r, :][None, :], axis=1)
-            out += (jnp.where(better, nsel(0), carry[4]),
-                    jnp.where(better, nsel(1), carry[5]),
-                    jnp.where(better, nsel(2), carry[6]))
-        return out
+                w1 * col(9 + r) + wu * col(12 + r) + wv * col(15 + r),
+                axis=0)
+            nx_ref[0, :] = jnp.where(better, nsel(0), nx_ref[0, :])
+            ny_ref[0, :] = jnp.where(better, nsel(1), ny_ref[0, :])
+            nz_ref[0, :] = jnp.where(better, nsel(2), nz_ref[0, :])
 
     def cond(c):
-        sp = c[0]
-        if any_hit:
-            # limit <= 0 marks padding rays as already satisfied so they
-            # can't block the block-level early exit.
-            return (sp > 0) & ~jnp.all((c[1] < limit) | (limit <= 0.0))
-        return sp > 0
+        sp, done = c
+        return (sp > 0) & ~done
 
     def step(c):
-        sp, bt = c[0], c[1]
+        sp, _ = c
         n = stack[sp - 1]
         sp = sp - 1
         # Node boxes live in SMEM: dynamic scalar reads are legal there
         # (Mosaic can't prove 128-alignment for dynamic VMEM loads).
-        lox, loy, loz = boxes[0, n], boxes[1, n], boxes[2, n]
-        hix, hiy, hiz = boxes[3, n], boxes[4, n], boxes[5, n]
-        tx1 = (lox - rx0) * ix
-        tx2 = (hix - rx0) * ix
-        ty1 = (loy - ry0) * iy
-        ty2 = (hiy - ry0) * iy
-        tz1 = (loz - rz0) * iz
-        tz2 = (hiz - rz0) * iz
-        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
-                                       jnp.minimum(ty1, ty2)),
-                           jnp.minimum(tz1, tz2))
-        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
-                                       jnp.maximum(ty1, ty2)),
-                           jnp.maximum(tz1, tz2))
-        enter = (tmin <= tmax) & (tmax >= 0.0) & (tmin < jnp.minimum(bt, limit))
+        tmin, tmax = _ray_slab(
+            rx0, ry0, rz0, ix, iy, iz,
+            boxes[0, n], boxes[1, n], boxes[2, n],
+            boxes[3, n], boxes[4, n], boxes[5, n])
+        enter = (tmin <= tmax) & (tmax >= 0.0) & (
+            tmin < jnp.minimum(t_ref[0, :], limit))
         enter_any = jnp.any(enter)
         is_leaf = n >= Lp
 
@@ -254,28 +254,22 @@ def _traverse_kernel(Lp, leaf, any_hit, normals,
             stack[sp + 1] = 2 * n
 
         sp = sp + jnp.where(enter_any & ~is_leaf, 2, 0)
-        carry = jax.lax.cond(enter_any & is_leaf,
-                             lambda cc: mt_leaf(n - Lp, cc),
-                             lambda cc: cc, c[1:])
-        return (sp,) + carry
+
+        @pl.when(enter_any & is_leaf)
+        def _():
+            mt_leaf(n - Lp)
+
+        if any_hit:
+            # limit <= 0 marks padding rays as already satisfied so they
+            # can't block the block-level early exit.
+            done = jnp.all((t_ref[0, :] < limit) | (limit <= 0.0))
+        else:
+            done = jnp.asarray(False)
+        return (sp, done)
 
     stack[0] = 1
-    init = (jnp.asarray(1, jnp.int32),
-            jnp.full((R,), _INF, jnp.float32),
-            jnp.zeros((R,), jnp.float32),
-            jnp.zeros((R,), jnp.float32),
-            jnp.zeros((R,), jnp.int32))
-    if normals:
-        init += (jnp.zeros((R,), jnp.float32),) * 3
-    out = jax.lax.while_loop(cond, step, init)
-    t_ref[0, :] = out[1]
-    u_ref[0, :] = out[2]
-    v_ref[0, :] = out[3]
-    idx_ref[0, :] = out[4]
-    if normals:
-        nx_ref[0, :] = out[5]
-        ny_ref[0, :] = out[6]
-        nz_ref[0, :] = out[7]
+    jax.lax.while_loop(cond, step,
+                       (jnp.asarray(1, jnp.int32), jnp.asarray(False)))
 
 
 @functools.partial(jax.jit,
@@ -347,7 +341,7 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None,
         out_specs=(out_spec,) * n_out,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((packed.shape[0], leaf), jnp.float32),
+            pltpu.VMEM((leaf, packed.shape[1]), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SMEM((STACK,), jnp.int32),
         ],

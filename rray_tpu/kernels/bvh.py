@@ -67,16 +67,17 @@ def tree_sizes(T: int, leaf: int = LEAF):
     return Lp, Lp * leaf
 
 
-def build_tree(p1, e1, e2, normals=None, leaf: int = LEAF):
+def build_tree(p1, e1, e2, normals=None, aux=(), leaf: int = LEAF):
     """Implicit-heap BVH over Morton-ordered triangles (in-graph, jnp).
 
     p1/e1/e2: 3-tuples of [T] component arrays (SoA); `normals` an
     optional 9-tuple (n1xyz, n2xyz, n3xyz) packed alongside so traversal
-    can interpolate the winning normal in-kernel. Returns (packed
-    [Tp, 16|24] f32 triangle table — triangles in sublanes, components
-    in lanes — 6 node-box arrays each [2*Lp], Lp). Node 0 is unused;
-    real leaves have tight boxes, padding leaves inverted (+inf/-inf)
-    boxes.
+    can interpolate the winning normal in-kernel; `aux` optional extra
+    [T] f32 payload columns (shade class, prim id) appended after them.
+    Returns (packed [Tp, 128] f32 triangle table — triangles in
+    sublanes, components in lanes — 6 node-box arrays each [2*Lp], Lp).
+    Node 0 is unused; real leaves have tight boxes, padding leaves
+    inverted (+inf/-inf) boxes.
     """
     T = p1[0].shape[0]
     Lp, Tp = tree_sizes(T, leaf)
@@ -92,6 +93,9 @@ def build_tree(p1, e1, e2, normals=None, leaf: int = LEAF):
             comps.append(jnp.concatenate(
                 [src[j].astype(jnp.float32), jnp.zeros((Tp - T,),
                                                        jnp.float32)]))
+    for a in aux:
+        comps.append(jnp.concatenate(
+            [a.astype(jnp.float32), jnp.zeros((Tp - T,), jnp.float32)]))
     # Pad the component count (lane axis) to the 128-lane tile: Mosaic
     # requires DMA slice widths 128-aligned, and HBM stores the table
     # lane-padded to 128 regardless, so this costs nothing extra
@@ -134,14 +138,18 @@ def build_tree(p1, e1, e2, normals=None, leaf: int = LEAF):
     return packed, nodes_lo, nodes_hi, Lp
 
 
-def _traverse_kernel(Lp, leaf, any_hit, normals,
+def _traverse_kernel(Lp, leaf, any_hit, normals, n_aux,
                      rox, roy, roz, rdx, rdy, rdz, dist,
                      boxes, tri_hbm, *refs):
+    refs = list(refs)
+    t_ref, u_ref, v_ref, idx_ref = refs[:4]
+    del refs[:4]
     if normals:
-        (t_ref, u_ref, v_ref, idx_ref, nx_ref, ny_ref, nz_ref,
-         tri_vmem, sem, stack) = refs
-    else:
-        t_ref, u_ref, v_ref, idx_ref, tri_vmem, sem, stack = refs
+        nx_ref, ny_ref, nz_ref = refs[:3]
+        del refs[:3]
+    aux_refs = refs[:n_aux]
+    tri_vmem, sem, stack = refs[n_aux:]
+    aux_base = 18 if normals else 9
     # Rays stay in lanes; [1, BR] rows broadcast along sublanes for free.
     ox = rox[0, :][None, :]
     oy = roy[0, :][None, :]
@@ -162,6 +170,8 @@ def _traverse_kernel(Lp, leaf, any_hit, normals,
         nx_ref[0, :] = jnp.zeros((R,), jnp.float32)
         ny_ref[0, :] = jnp.zeros((R,), jnp.float32)
         nz_ref[0, :] = jnp.zeros((R,), jnp.float32)
+    for ar in aux_refs:
+        ar[0, :] = jnp.zeros((R,), jnp.float32)
 
     def mt_leaf(ci):
         """DMA leaf ci's triangles HBM->VMEM, fold its closest hits."""
@@ -226,6 +236,11 @@ def _traverse_kernel(Lp, leaf, any_hit, normals,
             nx_ref[0, :] = jnp.where(better, nsel(0), nx_ref[0, :])
             ny_ref[0, :] = jnp.where(better, nsel(1), ny_ref[0, :])
             nz_ref[0, :] = jnp.where(better, nsel(2), nz_ref[0, :])
+        for k, ar in enumerate(aux_refs):
+            # Per-triangle payload column (shade class / prim id as f32):
+            # one sublane select-sum replaces a ~1 elem/cycle XLA gather
+            # downstream.
+            ar[0, :] = jnp.where(better, take(col(aux_base + k)), ar[0, :])
 
     def cond(c):
         sp, done = c
@@ -274,7 +289,7 @@ def _traverse_kernel(Lp, leaf, any_hit, normals,
 
 @functools.partial(jax.jit,
                    static_argnames=("leaf", "any_hit", "interpret"))
-def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None,
+def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None, aux=None,
                          leaf: int = LEAF, any_hit: bool = False,
                          interpret: bool = False):
     """BVH closest-hit (or bounded any-hit) over triangles.
@@ -283,22 +298,26 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None,
     9-tuple of [T] f32 (p1xyz, e1xyz, e2xyz) in Morton order. `dist`
     ([R], optional) bounds the search for shadow rays; with
     any_hit=True traversal stops once every ray in the block has a hit
-    inside `dist`.
+    inside `dist`. `aux` (optional tuple of [T] f32 columns, e.g. shade
+    class / prim id) selects each column for the winning triangle
+    in-kernel — replacing XLA gathers, which run at ~1 element/cycle.
 
-    Returns (t, u, v, tri_index) (plus (nx, ny, nz) when tri_comps
-    carries the 9 normal columns). Closest-hit: misses carry t=+inf and
-    u/v/tri_index belong to the winning triangle. any_hit=True returns
-    an occlusion sentinel instead of a payload: t is pinned to 0 when
-    some triangle lies inside `dist` (so `t < dist` tests occlusion) and
-    +inf otherwise; u/v/tri_index are meaningless zeros.
+    Returns (t, u, v, tri_index[, nx, ny, nz][, *aux]) — normals when
+    tri_comps carries the 9 normal columns. Closest-hit: misses carry
+    t=+inf and u/v/tri_index belong to the winning triangle.
+    any_hit=True returns an occlusion sentinel instead of a payload: t
+    is pinned to 0 when some triangle lies inside `dist` (so `t < dist`
+    tests occlusion) and +inf otherwise; u/v/tri_index are meaningless
+    zeros.
     """
     R = ro_comps[0].shape[0]
     assert R % BR == 0, R
     normals = len(tri_comps) == 18
-    assert not (any_hit and normals), "any-hit reports no payload"
+    aux = tuple(aux) if aux else ()
+    assert not (any_hit and (normals or aux)), "any-hit reports no payload"
     packed, nlo, nhi, Lp = build_tree(
         tri_comps[0:3], tri_comps[3:6], tri_comps[6:9],
-        normals=tri_comps[9:18] if normals else None, leaf=leaf)
+        normals=tri_comps[9:18] if normals else None, aux=aux, leaf=leaf)
     # Node boxes ([6, 2*Lp] f32) live in SMEM for dynamic scalar reads;
     # scalar memory bounds the tree, not HBM. 2048 leaves = 96 KB of
     # boxes (~512k triangles at leaf=256) — assert instead of failing
@@ -323,7 +342,7 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None,
     args.append(jnp.stack([*nlo, *nhi], axis=0))  # [6, NN] -> SMEM
     args.append(packed)
 
-    n_out = 7 if normals else 4
+    n_out = (7 if normals else 4) + len(aux)
     out_shapes = (
         jax.ShapeDtypeStruct((1, R), jnp.float32),
         jax.ShapeDtypeStruct((1, R), jnp.float32),
@@ -332,9 +351,11 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None,
     )
     if normals:
         out_shapes += (jax.ShapeDtypeStruct((1, R), jnp.float32),) * 3
+    out_shapes += (jax.ShapeDtypeStruct((1, R), jnp.float32),) * len(aux)
 
     outs = pl.pallas_call(
-        functools.partial(_traverse_kernel, Lp, leaf, any_hit, normals),
+        functools.partial(_traverse_kernel, Lp, leaf, any_hit, normals,
+                          len(aux)),
         grid=grid,
         in_specs=[ray_spec] * 7 + [box_spec]
         + [pl.BlockSpec(memory_space=pl.ANY)],

@@ -130,16 +130,18 @@ def _mt_rows(trisT, s, ox, oy, oz, dx, dy, dz):
     return jnp.where(ok, tt, _INF), uu, vv
 
 
-def _kernel(chunk, normals, seeded, *refs):
+def _kernel(chunk, normals, seeded, n_aux, *refs):
     refs = list(refs)
     rox, roy, roz, rdx, rdy, rdz = refs[:6]
     del refs[:6]
     t0_ref = refs.pop(0) if seeded else None
+    trisT, boxes, t_ref, u_ref, v_ref, idx_ref = refs[:6]
+    del refs[:6]
     if normals:
-        (trisT, boxes, t_ref, u_ref, v_ref, idx_ref,
-         nx_ref, ny_ref, nz_ref) = refs
-    else:
-        trisT, boxes, t_ref, u_ref, v_ref, idx_ref = refs
+        nx_ref, ny_ref, nz_ref = refs[:3]
+        del refs[:3]
+    aux_refs = refs
+    aux_base = 18 if normals else 9  # aux columns follow the geometry
     T = trisT.shape[0]
     n_chunks = T // chunk
     BRl = rox.shape[1]
@@ -166,6 +168,8 @@ def _kernel(chunk, normals, seeded, *refs):
         nx_ref[0, :] = jnp.zeros((BRl,), jnp.float32)
         ny_ref[0, :] = jnp.zeros((BRl,), jnp.float32)
         nz_ref[0, :] = jnp.zeros((BRl,), jnp.float32)
+    for ar in aux_refs:
+        ar[0, :] = jnp.zeros((BRl,), jnp.float32)
 
     def body(c, carry):
         # Block-level cull: does any ray in this block enter chunk c's box
@@ -212,6 +216,13 @@ def _kernel(chunk, normals, seeded, *refs):
                 nx_ref[0, :] = jnp.where(better, nsel(0), nx_ref[0, :])
                 ny_ref[0, :] = jnp.where(better, nsel(1), ny_ref[0, :])
                 nz_ref[0, :] = jnp.where(better, nsel(2), nz_ref[0, :])
+            for k, ar in enumerate(aux_refs):
+                # Per-triangle payload column (e.g. shade class, prim id
+                # as f32): one sublane select-sum here replaces a ~1
+                # elem/cycle XLA gather downstream (measured ~2 ms per
+                # gather at 480k rays).
+                ar[0, :] = jnp.where(
+                    better, take(trisT[s, aux_base + k][:, None]), ar[0, :])
         return carry
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -309,7 +320,7 @@ def any_triangle(ro_comps, rd_comps, tri_comps, dist, interpret: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def closest_triangle(ro_comps, rd_comps, tri_comps, t_init=None,
+def closest_triangle(ro_comps, rd_comps, tri_comps, t_init=None, aux=None,
                      interpret: bool = False):
     """Closest-hit over triangles.
 
@@ -322,20 +333,24 @@ def closest_triangle(ro_comps, rd_comps, tri_comps, t_init=None,
     with an already-known closer hit (analytic primitives) so occluded
     chunks are skipped; hits beyond the seed may still be reported when
     a chunk was entered for another ray — merge with a strict `<`
-    against the seed. Returns (t, u, v, tri_index[, nx, ny, nz]) each
-    [R]; misses (and rays whose chunks all culled) carry t=+inf.
+    against the seed. `aux` (optional tuple of [T] f32 columns, e.g.
+    shade class / prim id) selects each column for the winning triangle
+    in-kernel — replacing XLA gathers, which run at ~1 element/cycle.
+    Returns (t, u, v, tri_index[, nx, ny, nz][, *aux]) each [R]; misses
+    (and rays whose chunks all culled) carry t=+inf and zero payloads.
     """
     R = ro_comps[0].shape[0]
     T = tri_comps[0].shape[0]
     normals = len(tri_comps) == 18
+    aux = tuple(aux) if aux else ()
     chunk = chunk_size(T)
     assert R % BR == 0 and T % chunk == 0, (R, T, chunk)
 
     grid = (R // BR,)
     ray_spec = pl.BlockSpec((1, BR), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((T, len(tri_comps)), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((T, len(tri_comps) + len(aux)),
+                            lambda i: (0, 0), memory_space=pltpu.VMEM)
     box_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((1, BR), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
@@ -344,10 +359,10 @@ def closest_triangle(ro_comps, rd_comps, tri_comps, t_init=None,
     args = [c.reshape(1, R) for c in (*ro_comps, *rd_comps)]
     if seeded:
         args.append(t_init.reshape(1, R))
-    args.append(_pack_tris(tri_comps))
+    args.append(_pack_tris(tri_comps + aux))
     args.append(_chunk_boxes(tri_comps, chunk))
 
-    n_out = 7 if normals else 4
+    n_out = (7 if normals else 4) + len(aux)
     out_shapes = (
         jax.ShapeDtypeStruct((1, R), jnp.float32),
         jax.ShapeDtypeStruct((1, R), jnp.float32),
@@ -356,9 +371,10 @@ def closest_triangle(ro_comps, rd_comps, tri_comps, t_init=None,
     )
     if normals:
         out_shapes += (jax.ShapeDtypeStruct((1, R), jnp.float32),) * 3
+    out_shapes += (jax.ShapeDtypeStruct((1, R), jnp.float32),) * len(aux)
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, chunk, normals, seeded),
+        functools.partial(_kernel, chunk, normals, seeded, len(aux)),
         grid=grid,
         in_specs=([ray_spec] * (7 if seeded else 6) + [tri_spec, box_spec]),
         out_specs=(out_spec,) * n_out,

@@ -317,7 +317,13 @@ def _pad_tri_kernel_inputs(scene, ro, rd, normals):
                     for k, tbl in enumerate(geom + ntabs)
                     for j in range(3))
     tri_bvh = tuple(tbl[:, j] for tbl in geom + ntabs for j in range(3))
-    return ro_c, rd_c, tri_lin, tri_bvh, padr
+    # Winner payload columns selected in-kernel (prim id, shade class as
+    # f32 — exact below 2^24): an XLA `take` on the returned index costs
+    # ~1 elem/cycle and measured ~2 ms per gather at 480k rays.
+    aux_bvh = (scene.tri_prim.astype(jnp.float32),
+               scene.tri_class.astype(jnp.float32))
+    aux_lin = tuple(padt(a) for a in aux_bvh)
+    return ro_c, rd_c, tri_lin, tri_bvh, aux_lin, aux_bvh, padr
 
 
 def _pallas_triangle_any(scene: sd.SceneData, ro: V3, rd: V3, settings,
@@ -334,7 +340,7 @@ def _pallas_triangle_any(scene: sd.SceneData, ro: V3, rd: V3, settings,
     T = scene.counts[6]
     R = ro.x.shape[0]
     interpret = getattr(settings, "pallas", "off") == "interpret"
-    ro_c, rd_c, tri_lin, tri_bvh, padr = _pad_tri_kernel_inputs(
+    ro_c, rd_c, tri_lin, tri_bvh, _, _, padr = _pad_tri_kernel_inputs(
         scene, ro, rd, normals=False)
     # Padding rays carry dist 0: the kernels treat them as already
     # satisfied so they don't block block-level early exit.
@@ -369,24 +375,28 @@ def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings,
     R = ro.x.shape[0]
     interpret = getattr(settings, "pallas", "off") == "interpret"
     use_bvh = T >= getattr(settings, "bvh_min_tris", 1024)
-    ro_c, rd_c, tri_lin, tri_bvh, padr = _pad_tri_kernel_inputs(
-        scene, ro, rd, normals)
+    ro_c, rd_c, tri_lin, tri_bvh, aux_lin, aux_bvh, padr = (
+        _pad_tri_kernel_inputs(scene, ro, rd, normals))
     seed = None if t_init is None else padr(t_init, fill=_INF)
     if use_bvh:
         # The BVH bounds closest-hit traversal at min(best, dist): a
         # subtree is skipped iff entry is behind the seed — hits it does
         # report are exact, and seed-beaten leaves merge away below.
-        outs = kbvh.bvh_closest_triangle(ro_c, rd_c, tri_bvh,
-                                         dist=seed, interpret=interpret)
+        outs = kbvh.bvh_closest_triangle(ro_c, rd_c, tri_bvh, dist=seed,
+                                         aux=aux_bvh, interpret=interpret)
     else:
         outs = ktri.closest_triangle(ro_c, rd_c, tri_lin, t_init=seed,
-                                     interpret=interpret)
+                                     aux=aux_lin, interpret=interpret)
     t, u, v, idx = (o[:R] for o in outs[:4])
+    # idx only feeds the rare textured-mesh uv gathers downstream — keep
+    # it clamped for them; prim/cls come back from the kernel as f32
+    # payload columns (misses carry 0, discarded by the caller's merge).
     idx = jnp.minimum(idx, T - 1)
-    prim = jnp.take(scene.tri_prim, idx)
+    base = 7 if normals else 4
+    prim = outs[base][:R].astype(jnp.int32)
     if not normals:
         return t, u, v, prim, idx
-    cls = jnp.take(scene.tri_class, idx)
+    cls = outs[base + 1][:R].astype(jnp.int32)
     tri_n = tuple(o[:R] for o in outs[4:7])
     return t, u, v, prim, idx, cls, tri_n
 

@@ -55,10 +55,19 @@ _FAR = 1e30
 
 
 def chunk_size(T: int) -> int:
-    """Sublane-aligned chunk: small meshes avoid padding to the full 256."""
-    if T >= CHUNK:
+    """Sublane-aligned chunk size for a T-triangle mesh.
+
+    Production meshes here are < bvh_min_tris (larger ones take the BVH
+    kernel), where a ~40-64-triangle chunk measured ~25% faster than
+    one 256-wide chunk on the teapot frame: finer chunks cull tighter
+    (blocks that graze the mesh AABB skip most of its triangles), and a
+    pad-free divisor avoids wasted Möller–Trumbore rows. T >= 1024
+    keeps the coarse chunk (that path only runs in tests/interpret)."""
+    if T >= 1024:
         return CHUNK
-    return -(-T // CHUNK_ALIGN) * CHUNK_ALIGN
+    if T <= 64:
+        return -(-T // CHUNK_ALIGN) * CHUNK_ALIGN
+    return min((64, 56, 48, 40), key=lambda c: ((-T) % c, -c))
 
 
 def _chunk_boxes(tri_comps, chunk):

@@ -474,14 +474,50 @@ def _color_at_compact_scan(scene: sd.SceneData, ro: V3, rd: V3,
     W = min(max(int(getattr(settings, "wavefront_capacity", 4)), 2),
             2 ** remaining)
 
-    def lift(c, fill):
-        return jnp.concatenate(
-            [c[None, :], jnp.full((W - 1, R), fill, dtype)], 0)
+    # Narrow unrolled prefix: level L holds exactly 2^L live paths per
+    # pixel, so while 2^(L+1) <= W the children fit capacity with a
+    # static heap placement — no sort, no drops, and the node evaluates
+    # 2^L*R rows instead of W*R (levels 0-1 at W=4 would otherwise waste
+    # 3R + 2R node rows and two 2W-row sorts per tile; measured ~20% of
+    # the glass frame). Capped at 2 unrolled node-graph copies — deeper
+    # unrolls blow up the XLA graph the scan exists to avoid. Weights of
+    # un-spawned rows are exact zeros, so results are unchanged (the
+    # full-capacity A/B pins this).
+    acc = (jnp.zeros(R, dtype),) * 3
+    flat = (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, jnp.ones(R, dtype))
+    width, start = 1, 0
+    while start <= remaining and 2 * width <= W and start < 2:
+        def prefix_level(flat, acc, level=start, width=width):
+            ox, oy, oz, dx, dy, dz, wf = flat
+            lk = jax.random.fold_in(key, level)
+            surface, over, under, reflectv, refr_dir, refl_w, refr_w = \
+                _sorted_node_eval(scene, V3(ox, oy, oz), V3(dx, dy, dz),
+                                  settings, lk)
+            acc = tuple(a + (c * wf).reshape(width, R).sum(0)
+                        for a, c in zip(acc, (surface.x, surface.y,
+                                              surface.z)))
+            cat = lambda a, b: jnp.concatenate([a, b])
+            return (cat(over.x, under.x), cat(over.y, under.y),
+                    cat(over.z, under.z), cat(reflectv.x, refr_dir.x),
+                    cat(reflectv.y, refr_dir.y), cat(reflectv.z, refr_dir.z),
+                    cat(wf * refl_w, wf * refr_w)), acc
 
-    state = (lift(ro.x, 0.0), lift(ro.y, 0.0), lift(ro.z, 0.0),
-             lift(rd.x, 0.0), lift(rd.y, 0.0), lift(rd.z, 1.0),
-             lift(jnp.ones(R, dtype), 0.0))
-    acc0 = (jnp.zeros(R, dtype),) * 3
+        if getattr(settings, "remat", True):
+            prefix_level = jax.checkpoint(prefix_level)
+        flat, acc = prefix_level(flat, acc)
+        width *= 2
+        start += 1
+
+    def lift(c, fill):
+        pad = jnp.full((W - width, R), fill, dtype)
+        return jnp.concatenate([c.reshape(width, R), pad], 0)
+
+    state = (lift(flat[0], 0.0), lift(flat[1], 0.0), lift(flat[2], 0.0),
+             lift(flat[3], 0.0), lift(flat[4], 0.0), lift(flat[5], 1.0),
+             lift(flat[6], 0.0))
+    acc0 = acc
+    if start > remaining:
+        return V3(*acc)
 
     def body(carry, level):
         state, acc = carry
@@ -517,7 +553,7 @@ def _color_at_compact_scan(scene: sd.SceneData, ro: V3, rd: V3,
     if getattr(settings, "remat", True):
         body = jax.checkpoint(body)
     (_, acc), _ = jax.lax.scan(body, (state, acc0),
-                               jnp.arange(remaining + 1))
+                               jnp.arange(start, remaining + 1))
     return V3(*acc)
 
 
@@ -828,11 +864,25 @@ def _unswizzle_image(colors, vsize, hsize, Hp, Wp):
     return img[:vsize, :hsize]
 
 
+@functools.partial(jax.jit, static_argnames=("remaining", "settings"))
+def _tile_eval(scene, ro, rd, remaining, settings, key):
+    """One compiled tile evaluation (cached on scene structure/settings).
+
+    Single-tile frames used to evaluate the node graph op-by-op while
+    multi-tile frames compiled it under lax.map. Compiled execution
+    contracts mul+add chains into FMAs, which flips f32 boundary
+    decisions (shadow grazing hits, n1/n2 crossing matches) on ~1% of
+    pixels relative to eager — so the same scene could render slightly
+    differently depending on tile count, and wavefront A/B tests only
+    agreed when both paths compiled identically. Always compiling keeps
+    results a function of the scene, not the batching (and is faster)."""
+    return _soa_node_fn(scene)(scene, ro, rd, remaining, settings, key)
+
+
 def render(scene: sd.SceneData, cam: CameraData,
            settings: RenderSettings = RenderSettings(), seed: int = 0):
     """Full-frame render -> image [vsize, hsize, 3] (linear, unclamped)."""
     key = jax.random.PRNGKey(seed)
-    node = _soa_node_fn(scene)
     swizzle = bool(scene.counts[6]) and soa._use_pallas(settings,
                                                         cam.inv.dtype)
     tile = _tile_rays(scene, cam, settings)
@@ -861,7 +911,7 @@ def render(scene: sd.SceneData, cam: CameraData,
 
     def tile_fn(args):
         o, d = args
-        return node(scene, o, d, settings.depth, settings, key)
+        return _tile_eval(scene, o, d, settings.depth, settings, key)
 
     if n_tiles == 1:
         out = tile_fn((V3(ro_t.x[0], ro_t.y[0], ro_t.z[0]),

@@ -73,26 +73,35 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
     cols = (jnp.arange(n) % level).astype(dtype)
     rows = (jnp.arange(n) // level).astype(dtype)
 
-    # One sample per scan step, [R] wide: the earlier [n*R] tiled batch
-    # materialized ~10 frame-sized arrays per sample set through HBM
-    # (shadow sampling was 84% of the area-light frame); per-step the
-    # whole sample chain fuses. Same PRNG draws, and the sum of 0/1
-    # samples is integer-exact, so results are bit-identical.
+    # `level` samples per scan step at [level*R] width: the earlier
+    # [n*R] tiled batch materialized ~10 frame-sized arrays per sample
+    # set through HBM (shadow sampling was 84% of the area-light frame),
+    # while fully serial [R] steps left the VPU underfed — one row per
+    # step measured 1.79 ms vs 1.49 ms for level-sized groups on the
+    # 2400x1800 BASELINE tile (g=n regresses to the HBM-bound form).
+    # Same PRNG draws and per-sample math; the group sum of 0/1 samples
+    # is integer-exact, so results are bit-identical.
+    g = level
+    rep = lambda c: jnp.tile(c, g)
+    over_g = V3(rep(over.x), rep(over.y), rep(over.z))
+
     def body(acc, xs):
-        r0, r1, col, row = xs
-        ur = (col + r0) / level
-        vr = (row + r1) / level
+        r0, r1, col, row = xs  # r0/r1: [g, R]; col/row: [g]
+        ur = (col[:, None] + r0).reshape(g * R) / level
+        vr = (row[:, None] + r1).reshape(g * R) / level
         pos = V3(light.corner[0] + light.uvec[0] * ur + light.vvec[0] * vr,
                  light.corner[1] + light.uvec[1] * ur + light.vvec[1] * vr,
                  light.corner[2] + light.uvec[2] * ur + light.vvec[2] * vr)
-        to_light = pos - over
+        to_light = pos - over_g
         dist = to_light.norm()
         direction = to_light * (1.0 / jnp.maximum(dist, 1e-30))
-        shadowed = _shadow_test_soa(scene, over, direction, dist, settings)
-        return acc + shadowed.astype(dtype), None
+        shadowed = _shadow_test_soa(scene, over_g, direction, dist, settings)
+        return acc + shadowed.astype(dtype).reshape(g, R).sum(0), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros(R, dtype),
-                          (rand[0], rand[1], cols, rows))
+                          (rand[0].reshape(level, g, R),
+                           rand[1].reshape(level, g, R),
+                           cols.reshape(level, g), rows.reshape(level, g)))
     return acc / n
 
 
@@ -824,7 +833,11 @@ def _tile_rays(scene: sd.SceneData, cam: CameraData,
         # through sorted_slots_full_soa/any_hit_sorted_soa, whose XLA
         # [R, chunk] HBM intermediates need the cap even with Pallas on.
         chunk = min(settings.tri_chunk, T)
-        max_rays = max(settings.max_rc_elems // chunk, 1)
+        # Area-light shadow tests run `level` samples per scan step, so
+        # their [g*R, chunk] triangle intermediate is g x bigger.
+        g = max([light.level for light in scene.lights
+                 if light.kind == "area"] or [1])
+        max_rays = max(settings.max_rc_elems // (chunk * g), 1)
         rows = min(rows, max(max_rays // cam.hsize, 1))
     return max(rows * cam.hsize, 1)
 

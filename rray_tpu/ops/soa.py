@@ -579,13 +579,92 @@ def sorted_member_slots(scene: sd.SceneData, ro: V3, rd: V3):
     return t, prim, jnp.isfinite(t)
 
 
+def _member_slots_filtered_nosort(scene: sd.SceneData, ro: V3, rd: V3):
+    """CSG-filtered member slots WITHOUT sorting (hybrid fast path).
+
+    The reference's filter (csg.rs:177-195) scans the slots in sorted
+    order carrying in-left/in-right parities — but each slot's parity
+    state is just the parity of *other* valid operand crossings that
+    precede it in that order, which is computable per slot from pairwise
+    comparisons: slot j precedes slot i iff t_j < t_i, or t_j == t_i and
+    j was inserted earlier (lax.sort/Vec-sort tie stability). Because
+    every slot's prim — hence its side under each CSG — is STATIC, the
+    per-slot allowed rule reduces to one or two XOR parities of a couple
+    of masked comparisons, replacing the K-round compare-swap network +
+    per-node lax.scan + K-select pass (measured ~45% of the 1080p CSG
+    frame's node eval).
+
+    Returns (ts, pids, keeps): lists of [R] slot arrays (UNSORTED) with
+    static prim ids; `keeps` marks slots that survive every CSG filter,
+    innermost-first like apply_csg_soa."""
+    ts, pids, valids = [], [], []
+    for pid in member_pids(scene):
+        kind = scene.prim_kinds[pid]
+        row = scene.prim_rows_static[pid]
+        assert kind != sd.TRIANGLE, "hybrid CSG path requires analytic members"
+        for t, valid in _leaf_slots(scene, kind, row, ro, rd):
+            ts.append(t)
+            pids.append(pid)
+            valids.append(valid)
+    K = len(ts)
+
+    # before[j][i]: slot j precedes slot i in the stable sorted order.
+    before = [[None] * K for _ in range(K)]
+    for j in range(K):
+        for i in range(K):
+            if i == j:
+                continue
+            before[j][i] = (ts[j] <= ts[i]) if j < i else (ts[j] < ts[i])
+
+    for ci, op in enumerate(scene.csg_ops):
+        side = [scene.csg_side_static[ci][pid] for pid in pids]
+        keeps = []
+        for i in range(K):
+            if side[i] == 0:
+                keeps.append(valids[i])  # not under this CSG: always kept
+                continue
+            parity = {1: None, 2: None}
+            for j in range(K):
+                if j == i or side[j] == 0:
+                    continue
+                x = valids[j] & before[j][i]
+                parity[side[j]] = x if parity[side[j]] is None \
+                    else parity[side[j]] ^ x
+            inl = parity[1] if parity[1] is not None else jnp.zeros_like(
+                valids[i])
+            inr = parity[2] if parity[2] is not None else jnp.zeros_like(
+                valids[i])
+            if op == sd.CSG_UNION:
+                allowed = ~inr if side[i] == 1 else ~inl
+            elif op == sd.CSG_INTERSECTION:
+                allowed = inr if side[i] == 1 else inl
+            else:  # difference
+                allowed = ~inr if side[i] == 1 else inl
+            keeps.append(valids[i] & allowed)
+        valids = keeps
+    return ts, pids, valids
+
+
 def csg_filtered_member_hit(scene: sd.SceneData, ro: V3, rd: V3):
-    """Hybrid-path CSG evaluation: sorted member slots -> CSG filter ->
-    (found, t, prim) of the first surviving t >= 0 slot, plus the
-    filtered slots themselves (for the n1/n2 walk)."""
-    slots = apply_csg_soa(scene, sorted_member_slots(scene, ro, rd))
-    found, t, prim, _ = select_hit_slots(slots)
-    return found, t, prim, slots
+    """Hybrid-path CSG evaluation: filtered member slots ->
+    (found, t, prim) of the minimal surviving t >= 0 slot (== the first
+    surviving slot of the sorted order; strict < keeps the earlier-
+    inserted slot on ties like the stable sort), plus the filtered
+    slots as [K, R] stacks (for the n1/n2 walk, which is order-free)."""
+    ts, pids, keeps = _member_slots_filtered_nosort(scene, ro, rd)
+    R = ro.x.shape
+    found = jnp.zeros(R, bool)
+    t_out = jnp.full(R, _INF, ro.dtype)
+    prim_out = jnp.zeros(R, jnp.int32)
+    for t, pid, keep in zip(ts, pids, keeps):
+        take = keep & (t >= 0.0) & (t < t_out)
+        t_out = jnp.where(take, t, t_out)
+        prim_out = jnp.where(take, pid, prim_out)
+        found = found | take
+    t_out = jnp.where(found, t_out, 0.0)
+    mslots = (jnp.stack(ts), jnp.stack([jnp.full(R, p, jnp.int32)
+                                        for p in pids]), jnp.stack(keeps))
+    return found, t_out, prim_out, mslots
 
 
 def closest_hit_hybrid(scene: sd.SceneData, ro: V3, rd: V3, settings):
@@ -998,9 +1077,10 @@ def any_hit_hybrid(scene: sd.SceneData, ro: V3, rd: V3, distance, settings):
     CSG-filtered member slot in range (scene.rs:234-245 semantics —
     the scene's intersection list holds the CSG's *filtered* output)."""
     hit = any_hit_soa(scene, ro, rd, distance, settings, skip_members=True)
-    slots = apply_csg_soa(scene, sorted_member_slots(scene, ro, rd))
-    t, _, valid = slots[:3]
-    return hit | jnp.any(valid & (t >= 0.0) & (t < distance[None]), axis=0)
+    ts, _, keeps = _member_slots_filtered_nosort(scene, ro, rd)
+    for t, keep in zip(ts, keeps):
+        hit = hit | (keep & (t >= 0.0) & (t < distance))
+    return hit
 
 
 def any_hit_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, distance,

@@ -294,6 +294,9 @@ class SceneData:
     # Per-prim: is the leaf an operand of any CSG node? (static, so the
     # integrator can restrict sorted-slot work to member prims only).
     csg_member_static: Tuple[bool, ...] = ()
+    # Static copy of csg_side (slot -> operand side is compile-time
+    # knowledge; the sort-free CSG filter branches on it per slot).
+    csg_side_static: Tuple[Tuple[int, ...], ...] = ()
     n_classes: int = 0
     prim_class_static: Tuple[int, ...] = ()
     # Per-prim pattern-root index (static, so shading can restrict uv
@@ -317,7 +320,7 @@ _register(SceneData,
           ),
           meta_fields=("csg_ops", "has_reflective", "has_transparent",
                        "counts", "prim_kinds", "prim_rows_static",
-                       "csg_member_static", "n_classes",
+                       "csg_member_static", "csg_side_static", "n_classes",
                        "prim_class_static", "prim_pattern_static"))
 
 
@@ -687,6 +690,7 @@ def compile_scene(objects, lights, dtype=None) -> SceneData:
         prim_rows_static=tuple(int(r) for r in prim_row),
         csg_member_static=tuple(bool(csg_side[:, p].any()) if C else False
                                 for p in range(P)),
+        csg_side_static=tuple(tuple(int(s) for s in row) for row in csg_side),
         n_classes=M,
         prim_class_static=tuple(int(c) for c in prim_class),
         prim_pattern_static=tuple(int(i) for i in pat_ids),

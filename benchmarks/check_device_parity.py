@@ -79,8 +79,13 @@ def main():
         b = np.asarray(render(scene, cam, settings=RenderSettings(
             rows_per_tile=150, pallas="off", tri_chunk=256)))
         db = np.abs(a - b)
-        out["bvh_kernel_parity_maxdiff"] = float(db.max())
-        out["bvh_frac_gt_1e3"] = float((db > 1e-3).mean())
+        # Own JSON line so bench.py's metric capture records it too.
+        print(json.dumps({"metric": "bvh_kernel_parity_maxdiff",
+                          "value": float(db.max()),
+                          "unit": "linear color (tolerance ~1e-3)",
+                          "frac_gt_1e3": float((db > 1e-3).mean()),
+                          "vs_baseline": float(db.max()) / 1e-3}),
+              flush=True)
     print(json.dumps(out), flush=True)
 
 

@@ -192,10 +192,24 @@ def _color_at_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
     def body(carry, level):
         origins, dirs, weights, acc = carry
         lk = jax.random.fold_in(key, level)
-        surface, over, reflectv, refl = _fast_node_eval(
-            scene, origins, dirs, settings, lk)
-        acc = acc + surface * weights
-        return (over, reflectv, weights * refl, acc), None
+
+        def live_fn(_):
+            surface, over, reflectv, refl = _fast_node_eval(
+                scene, origins, dirs, settings, lk)
+            return over, reflectv, weights * refl, surface * weights
+
+        def dead_fn(_):
+            z = jnp.zeros_like(weights)
+            return origins, dirs, weights, V3(z, z, z)
+
+        # Reflection chains die as soon as a bounce lands on a
+        # non-reflective surface (weight product hits exact zero —
+        # scene.rs:281-290); a tile whose chains all died pays only the
+        # cond. With swizzled (block-compact) tiles this skips most
+        # levels on most tiles.
+        over, reflectv, weights_n, contrib = jax.lax.cond(
+            jnp.any(weights != 0.0), live_fn, dead_fn, None)
+        return (over, reflectv, weights_n, acc + contrib), None
 
     if getattr(settings, "remat", True):
         body = jax.checkpoint(body)
@@ -498,18 +512,37 @@ def _color_at_compact_scan(scene: sd.SceneData, ro: V3, rd: V3,
     while start <= remaining and 2 * width <= W and start < 2:
         def prefix_level(flat, acc, level=start, width=width):
             ox, oy, oz, dx, dy, dz, wf = flat
-            lk = jax.random.fold_in(key, level)
-            surface, over, under, reflectv, refr_dir, refl_w, refr_w = \
-                _sorted_node_eval(scene, V3(ox, oy, oz), V3(dx, dy, dz),
-                                  settings, lk)
-            acc = tuple(a + (c * wf).reshape(width, R).sum(0)
-                        for a, c in zip(acc, (surface.x, surface.y,
-                                              surface.z)))
-            cat = lambda a, b: jnp.concatenate([a, b])
-            return (cat(over.x, under.x), cat(over.y, under.y),
-                    cat(over.z, under.z), cat(reflectv.x, refr_dir.x),
-                    cat(reflectv.y, refr_dir.y), cat(reflectv.z, refr_dir.z),
-                    cat(wf * refl_w, wf * refr_w)), acc
+
+            def live_fn(_):
+                lk = jax.random.fold_in(key, level)
+                surface, over, under, reflectv, refr_dir, refl_w, refr_w = \
+                    _sorted_node_eval(scene, V3(ox, oy, oz), V3(dx, dy, dz),
+                                      settings, lk)
+                contrib = tuple((c * wf).reshape(width, R).sum(0)
+                                for c in (surface.x, surface.y, surface.z))
+                cat = lambda a, b: jnp.concatenate([a, b])
+                return (cat(over.x, under.x), cat(over.y, under.y),
+                        cat(over.z, under.z), cat(reflectv.x, refr_dir.x),
+                        cat(reflectv.y, refr_dir.y),
+                        cat(reflectv.z, refr_dir.z),
+                        cat(wf * refl_w, wf * refr_w)), contrib
+
+            def dead_fn(_):
+                z = jnp.zeros((width * R,), dtype)
+                dead = (z, z, z, z, z, jnp.ones((width * R,), dtype), z)
+                return tuple(jnp.concatenate([a, b])
+                             for a, b in zip(dead, dead)), \
+                    (jnp.zeros(R, dtype),) * 3
+
+            if level == 0:
+                flat_n, contrib = live_fn(None)  # primaries always live
+            else:
+                # Same dead-level skip as the scan body: a tile whose
+                # paths all died pays only the cond (CSG/area scenes die
+                # after 1-2 bounces on most tiles).
+                flat_n, contrib = jax.lax.cond(jnp.any(wf != 0.0),
+                                               live_fn, dead_fn, None)
+            return flat_n, tuple(a + c for a, c in zip(acc, contrib))
 
         if getattr(settings, "remat", True):
             prefix_level = jax.checkpoint(prefix_level)
@@ -896,8 +929,16 @@ def render(scene: sd.SceneData, cam: CameraData,
            settings: RenderSettings = RenderSettings(), seed: int = 0):
     """Full-frame render -> image [vsize, hsize, 3] (linear, unclamped)."""
     key = jax.random.PRNGKey(seed)
-    swizzle = bool(scene.counts[6]) and soa._use_pallas(settings,
-                                                        cam.inv.dtype)
+    # Swizzled (16x32 pixel-block) tile order serves two locality needs:
+    # the triangle kernels cull whole 512-ray blocks against AABBs, and
+    # the bounce loops' dead-level lax.cond skips a level only when a
+    # WHOLE tile's paths died — scanline tiles are full-width bands that
+    # almost always cross some reflective/transparent object, while
+    # block-compact tiles localize the live region. Pure relayout on
+    # both ends; bit-identical images.
+    swizzle = (bool(scene.counts[6]) and soa._use_pallas(settings,
+                                                         cam.inv.dtype)) \
+        or scene.has_reflective or scene.has_transparent
     tile = _tile_rays(scene, cam, settings)
     if swizzle:
         ro, rd, Hp, Wp = _swizzled_rays(cam)

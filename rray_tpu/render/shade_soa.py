@@ -339,8 +339,17 @@ def _sample_texture(texture, uu, vv):
     yi = h - 1 - jnp.minimum((vv * h).astype(jnp.int32), h - 1)
     flat = yi * w + xi
     if texture.dtype == jnp.uint32:
-        # Packed 8-bit RGB (scene/data.py): one gather instead of three.
-        px = jnp.take(texture.reshape(-1), flat)
+        # Packed 8-bit RGB (scene/data.py): one fetch instead of three.
+        # Fetched as a [1, 128] ROW gather + exact in-lane select: XLA's
+        # 1D element gather runs ~12.7 ns/index on TPU vs 2.1 ns/index
+        # for 128-wide row gathers (measured at 104k indices; the
+        # element form was ~65% of the 1080p CSG-showcase frame).
+        n = h * w
+        t2 = jnp.pad(texture.reshape(-1), (0, (-n) % 128)).reshape(-1, 128)
+        rows = jnp.take(t2, flat // 128, axis=0)        # [R, 128]
+        lane = (flat % 128)[:, None]
+        px = jnp.sum(jnp.where(jnp.arange(128)[None, :] == lane, rows, 0),
+                     axis=1)
         s = jnp.asarray(1.0 / 255.0, dtype)
         return V3(((px >> 16) & 0xFF).astype(dtype) * s,
                   ((px >> 8) & 0xFF).astype(dtype) * s,

@@ -1095,6 +1095,42 @@ def any_hit_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, distance,
     return jnp.any(valid & (t >= 0.0) & (t < distance[None, :]), axis=0)
 
 
+def _leaf_occludes(scene: sd.SceneData, kind: int, row: int, ro: V3, rd: V3,
+                   dist):
+    """Does this leaf have a hit with 0 <= t < dist? (shadow predicate)
+
+    Spheres and planes get sqrt/div-free interval forms — the quadratic
+    has a root in [0, dist) iff sign tests on b, c, f(dist) and
+    b + 2a*dist say so, and the plane's t = -oy/dy range test multiplies
+    through by dy^2 — sqrt and divide are the multi-cycle VPU ops in an
+    area light's 25-samples-per-pixel shadow loop. Other shapes reuse
+    their slot forms."""
+    if kind == sd.SPHERE:
+        inv = scene.sph_inv[row]
+        o = affine_point(inv, ro)
+        d = affine_vector(inv, rd)
+        a = d.dot(d)
+        b = 2.0 * d.dot(o)
+        c = o.dot(o) - 1.0
+        ok = b * b - 4.0 * a * c >= 0.0  # real roots
+        fd = (a * dist + b) * dist + c   # f(dist), a > 0
+        s2 = b + 2.0 * a * dist
+        tm_in = (b <= 0.0) & (c >= 0.0) & ((s2 > 0.0) | (fd < 0.0))
+        tp_in = ((b <= 0.0) | (c <= 0.0)) & (s2 > 0.0) & (fd > 0.0)
+        return ok & (tm_in | tp_in)
+    if kind == sd.PLANE:
+        inv = scene.pla_inv[row]
+        o = affine_point(inv, ro)
+        d = affine_vector(inv, rd)
+        oy_dy = o.y * d.y
+        return ((jnp.abs(d.y) >= EPSILON) & (oy_dy <= 0.0)
+                & (-oy_dy < dist * d.y * d.y))
+    hit = jnp.zeros(ro.x.shape, bool)
+    for t, valid in _leaf_slots(scene, kind, row, ro, rd):
+        hit = hit | (valid & (t >= 0.0) & (t < dist))
+    return hit
+
+
 def any_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, distance, settings,
                 skip_members: bool = False):
     """Shadow test: any hit with 0 <= t < distance (scene.rs:234-245)."""
@@ -1105,8 +1141,7 @@ def any_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, distance, settings,
             continue
         if skip_members and _is_member(scene, pid):
             continue
-        for t, valid in _leaf_slots(scene, kind, row, ro, rd):
-            hit = hit | (valid & (t >= 0.0) & (t < distance))
+        hit = hit | _leaf_occludes(scene, kind, row, ro, rd, distance)
 
     T = scene.counts[6]
     if T and _use_pallas(settings, ro.dtype):

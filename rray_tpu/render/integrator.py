@@ -85,6 +85,8 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
     rep = lambda c: jnp.tile(c, g)
     over_g = V3(rep(over.x), rep(over.y), rep(over.z))
 
+    one = jnp.ones(g * R, dtype)
+
     def body(acc, xs):
         r0, r1, col, row = xs  # r0/r1: [g, R]; col/row: [g]
         ur = (col[:, None] + r0).reshape(g * R) / level
@@ -92,10 +94,14 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
         pos = V3(light.corner[0] + light.uvec[0] * ur + light.vvec[0] * vr,
                  light.corner[1] + light.uvec[1] * ur + light.vvec[1] * vr,
                  light.corner[2] + light.uvec[2] * ur + light.vvec[2] * vr)
-        to_light = pos - over_g
-        dist = to_light.norm()
-        direction = to_light * (1.0 / jnp.maximum(dist, 1e-30))
-        shadowed = _shadow_test_soa(scene, over_g, direction, dist, settings)
+        # Segment form: the unnormalized direction with dist = 1 tests
+        # the same predicate (a hit with t_norm < |seg| iff t_seg < 1),
+        # skipping the per-sample norm sqrt + reciprocal — the two
+        # multi-cycle VPU ops left in this loop. (Point lights keep the
+        # normalized form: their binary shadows are pinned by exact
+        # goldens.)
+        shadowed = _shadow_test_soa(scene, over_g, pos - over_g, one,
+                                    settings)
         return acc + shadowed.astype(dtype).reshape(g, R).sum(0), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros(R, dtype),

@@ -360,6 +360,53 @@ class TestCSG:
         # Big sphere spans [3,7]; inner union spans [3.5,6.5] and is cut out.
         np.testing.assert_allclose(ts, [3.0, 3.5, 6.5, 7.0], atol=1e-9)
 
+    def test_pairwise_filter_matches_sorted_filter(self):
+        """The sort-free pairwise member filter (soa.py
+        _member_slots_filtered_nosort) must reproduce the sorted
+        compare-swap + scan filter exactly — fuzzed over nested CSGs and
+        mixed shapes, including grazing/inside/miss rays."""
+        from rray_tpu.ops import soa
+        from rray_tpu.ops.vec import V3
+
+        inner = Shape("csg", operation="intersection",
+                      left=Shape("sphere", transform=mu.translate(0, 0, 0.5)),
+                      right=Shape("cube", transform=mu.rotate_y(0.4)))
+        outer = Shape("csg", operation="difference",
+                      left=Shape("sphere", transform=mu.scale(2, 2, 2)),
+                      right=inner)
+        other = Shape("csg", operation="union",
+                      left=Shape("cylinder", minimum=-1.0, maximum=1.0,
+                                 closed=True,
+                                 transform=mu.translate(3, 0, 0)),
+                      right=Shape("sphere", transform=mu.translate(3, 1, 0)))
+        scene = compile_scene([outer, other, Shape("plane")], [LIGHT],
+                              dtype=jnp.float64)
+
+        rng = np.random.default_rng(5)
+        N = 20000
+        ro = V3(*(jnp.asarray(rng.uniform(-4, 4, N)) for _ in range(3)))
+        d = rng.normal(size=(3, N))
+        d /= np.linalg.norm(d, axis=0)
+        rd = V3(*(jnp.asarray(c) for c in d))
+
+        ref = soa.apply_csg_soa(scene, soa.sorted_member_slots(scene, ro, rd))
+        rfound, rt, rprim, _ = soa.select_hit_slots(ref)
+        found, t, prim, mslots = soa.csg_filtered_member_hit(scene, ro, rd)
+        np.testing.assert_array_equal(np.asarray(found), np.asarray(rfound))
+        f = np.asarray(found)
+        np.testing.assert_allclose(np.asarray(t)[f], np.asarray(rt)[f],
+                                   rtol=1e-12)
+        assert (np.asarray(prim)[f] == np.asarray(rprim)[f]).all()
+        # Surviving-slot multisets match (order-free: the n1/n2 walk
+        # consumes them per slot).
+        mt, mprim, mvalid = mslots
+        st, sprim, svalid = ref[:3]
+        ref_kept = np.sort(np.where(np.asarray(svalid), np.asarray(st),
+                                    np.inf), axis=0)
+        new_kept = np.sort(np.where(np.asarray(mvalid), np.asarray(mt),
+                                    np.inf), axis=0)
+        np.testing.assert_allclose(new_kept, ref_kept, rtol=1e-12)
+
 
 class TestHitSelection:
     def test_hit_rules(self):

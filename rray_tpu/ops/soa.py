@@ -1131,9 +1131,49 @@ def _leaf_occludes(scene: sd.SceneData, kind: int, row: int, ro: V3, rd: V3,
     return hit
 
 
+_OCC_KERNEL_KINDS = (sd.SPHERE, sd.PLANE, sd.CUBE, sd.CYLINDER, sd.CONE)
+
+
+def _occlusion_params(scene: sd.SceneData, pids):
+    """[len(pids), 16] param table for kernels/analytic.py: 12 affine
+    coefficients + ymin/ymax/closed extras (zeros elsewhere)."""
+    from ..kernels import analytic as kanl
+
+    rows = []
+    zero3 = jnp.zeros((3,), jnp.float32)
+    for pid in pids:
+        kind = scene.prim_kinds[pid]
+        row = scene.prim_rows_static[pid]
+        if kind == sd.SPHERE:
+            inv, extra = scene.sph_inv[row], zero3
+        elif kind == sd.PLANE:
+            inv, extra = scene.pla_inv[row], zero3
+        elif kind == sd.CUBE:
+            inv, extra = scene.cub_inv[row], zero3
+        elif kind == sd.CYLINDER:
+            inv = scene.cyl_inv[row]
+            extra = jnp.stack([scene.cyl_min[row], scene.cyl_max[row],
+                               scene.cyl_closed[row].astype(jnp.float32)])
+        else:
+            inv = scene.con_inv[row]
+            extra = jnp.stack([scene.con_min[row], scene.con_max[row],
+                               scene.con_closed[row].astype(jnp.float32)])
+        rows.append(jnp.concatenate([inv.reshape(-1).astype(jnp.float32),
+                                     extra.astype(jnp.float32),
+                                     jnp.zeros((kanl.N_PARAMS - 15,),
+                                               jnp.float32)]))
+    return jnp.stack(rows)
+
+
 def any_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, distance, settings,
                 skip_members: bool = False):
-    """Shadow test: any hit with 0 <= t < distance (scene.rs:234-245)."""
+    """Shadow test: any hit with 0 <= t < distance (scene.rs:234-245).
+
+    Stays in XLA: a per-call Pallas kernel was tried and measured 8x
+    WORSE on the sphere frame — one occlusion test is ~40 flops/ray, so
+    the kernel's input/output materialization and per-block dispatch
+    swamp the work. The fused kernel that pays off is the whole
+    area-light sample LOOP (kernels/analytic.py), one call per tile."""
     hit = jnp.zeros(ro.x.shape, bool)
     for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
                                           scene.prim_rows_static)):

@@ -70,6 +70,27 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
     n = level * level
     R = over.x.shape[0]
     rand = jax.random.uniform(key, (2, n, R), dtype=dtype)
+
+    from ..kernels import analytic as kanl
+    if (soa._use_pallas(settings, dtype) and not scene.csg_ops
+            and not scene.counts[6]
+            and all(k in kanl.OCCLUSION_KINDS for k in scene.prim_kinds)):
+        # The WHOLE sample loop as one Pallas call per tile
+        # (kernels/analytic.py): the XLA scan's per-step chain splits
+        # across fusions with HBM round trips (measured ~5x); same
+        # draws, same predicates, same integer sums — bit-identical.
+        # The fraction is a sum of indicators (zero gradient a.e., like
+        # the comparison-based path), so gradients stop here.
+        sg = jax.lax.stop_gradient
+        params = soa._occlusion_params(scene, range(len(scene.prim_kinds)))
+        light_params = jnp.concatenate([light.corner, light.uvec,
+                                        light.vvec])
+        return kanl.area_shadow_fraction(
+            (sg(over.x), sg(over.y), sg(over.z)), sg(rand),
+            sg(light_params), sg(params), tuple(scene.prim_kinds),
+            level,
+            interpret=getattr(settings, "pallas", "off") == "interpret")
+
     cols = (jnp.arange(n) % level).astype(dtype)
     rows = (jnp.arange(n) // level).astype(dtype)
 

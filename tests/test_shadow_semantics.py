@@ -117,3 +117,52 @@ class TestRecursionLimits:
         # Ambient uses pattern * light intensity, so color is 0 + no
         # refraction (TIR) => pure black everywhere.
         np.testing.assert_allclose(c_tir, [0.0, 0.0, 0.0], atol=1e-12)
+
+
+class TestAreaShadowKernel:
+    def test_fused_kernel_matches_xla_loop_bitexact(self):
+        """The fused area-shadow Pallas kernel (kernels/analytic.py,
+        interpret mode) must be BIT-identical to the XLA sample loop —
+        same jax.random draws, same predicates, same integer sums, the
+        count/n division left outside the kernel (Mosaic lowers division
+        to a reciprocal multiply). Both sides jitted: render() always
+        compiles tiles, and eager-vs-compiled differs by FMA
+        contraction (see integrator._tile_eval)."""
+        import jax
+
+        from rray_tpu import AreaLight, RenderSettings, Shape, compile_scene
+        from rray_tpu import mathutils as mu
+        from rray_tpu.render import integrator as I
+        from rray_tpu.ops.vec import V3
+
+        rng = np.random.default_rng(2)
+        shapes = [
+            Shape("sphere", transform=mu.translate(0, 1, 0)),
+            Shape("plane"),
+            Shape("cube", transform=mu.compose([mu.rotate_y(0.4),
+                                                mu.translate(2.5, 1, 1)])),
+            Shape("cylinder", minimum=0.0, maximum=2.0, closed=True,
+                  transform=mu.translate(-2.5, 0, 0)),
+            Shape("cylinder", transform=mu.translate(-5, 0, 2)),
+            Shape("cone", minimum=-1.0, maximum=0.0, closed=True,
+                  transform=mu.translate(0, 2, 3)),
+        ]
+        light = AreaLight(corner=np.array([-5.0, 5.0, -5.0]),
+                          uvec=np.array([1.5, 0.0, 0.0]),
+                          vvec=np.array([0.0, 1.5, 0.0]), level=5,
+                          intensity=np.ones(3))
+        scene = compile_scene(shapes, [light], dtype=jnp.float32)
+        N = 60000
+        over = V3(*(jnp.asarray(rng.uniform(-4, 4, N).astype(np.float32))
+                    for _ in range(3)))
+        key = jax.random.PRNGKey(7)
+
+        def frac(pallas):
+            st = RenderSettings(pallas=pallas)
+            return jax.jit(lambda o: I._shadow_fraction_soa(
+                scene, scene.lights[0], o, st, key))(over)
+
+        a = np.asarray(frac("off"))
+        b = np.asarray(frac("interpret"))
+        np.testing.assert_array_equal(a, b)
+        assert 0.1 < a.mean() < 0.9  # the fixture actually shadows

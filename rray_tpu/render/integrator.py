@@ -69,7 +69,14 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
     level = light.level
     n = level * level
     R = over.x.shape[0]
-    rand = jax.random.uniform(key, (2, n, R), dtype=dtype)
+    # rbg PRNG for the jitter draws: threefry costs ~20 int-ops per word
+    # (measured 1.5 ms per 9M-draw tile vs 0.14 ms for rbg on v5e). The
+    # sampler is already a documented deviation from the reference's
+    # thread_rng (seeded + deterministic either way); both shadow paths
+    # consume this same array, so their A/B stays exact.
+    rbg = jax.random.wrap_key_data(jnp.tile(jax.random.key_data(key), 2),
+                                   impl="rbg")
+    rand = jax.random.uniform(rbg, (2, n, R), dtype=dtype)
 
     from ..kernels import analytic as kanl
     if (soa._use_pallas(settings, dtype) and not scene.csg_ops

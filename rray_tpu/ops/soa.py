@@ -1131,9 +1131,6 @@ def _leaf_occludes(scene: sd.SceneData, kind: int, row: int, ro: V3, rd: V3,
     return hit
 
 
-_OCC_KERNEL_KINDS = (sd.SPHERE, sd.PLANE, sd.CUBE, sd.CYLINDER, sd.CONE)
-
-
 def _occlusion_params(scene: sd.SceneData, pids):
     """[len(pids), 16] param table for kernels/analytic.py: 12 affine
     coefficients + ymin/ymax/closed extras (zeros elsewhere)."""

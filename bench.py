@@ -122,10 +122,15 @@ def main():
         # Named BASELINE metrics: backward/forward time ratio + 1-chip
         # SPMD (shard_map) efficiency.
         import bench_grad
+        import bench_multiproc
         import bench_scaling
         import check_device_parity
         capture("bwd_fwd", lambda: bench_grad.main(["1", "2"]))
         capture("scaling", bench_scaling.main)
+        # Multi-process (2 x jax.distributed, CPU mesh) efficiency —
+        # the closest measurable analog of the N>=2-hosts BASELINE
+        # metric on single-host hardware.
+        capture("multiproc", bench_multiproc.main)
         # On-device kernel-vs-XLA parity: CPU tests can't see TPU-only
         # numerics (bf16 matmul truncation shipped invisibly once).
         capture("kernel_parity", check_device_parity.main)

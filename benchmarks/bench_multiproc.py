@@ -15,25 +15,42 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 BASE = os.path.dirname(os.path.abspath(__file__))
 WORKER = os.path.join(BASE, "mp_bench_worker.py")
 
 
-def run(num_procs, dev_per_proc):
+def run(num_procs, dev_per_proc, deadline_s=420):
+    # Fresh port per invocation so a crashed/stale cluster (TIME_WAIT,
+    # concurrent bench) can't wedge the rendezvous.
+    port = int(os.environ.get("RRAY_MP_PORT", 12000 + os.getpid() % 20000))
+    env = dict(os.environ, RRAY_MP_COORD=f"127.0.0.1:{port}")
     procs = [subprocess.Popen(
         [sys.executable, WORKER, str(num_procs), str(i), str(dev_per_proc)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(num_procs)]
-    sec = None
-    for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=900)
-        assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
-        for line in out.splitlines():
-            if line.startswith("median_frame_s"):
-                sec = float(line.split()[1])
-    assert sec is not None, "proc 0 reported no timing"
-    return sec
+    try:
+        t0 = time.time()
+        while any(p.poll() is None for p in procs):
+            if time.time() - t0 > deadline_s:
+                raise TimeoutError(f"{num_procs}-proc bench exceeded "
+                                   f"{deadline_s}s")
+            time.sleep(0.5)
+        sec = None
+        for i, p in enumerate(procs):
+            out = p.stdout.read()
+            assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+            for line in out.splitlines():
+                if line.startswith("median_frame_s"):
+                    sec = float(line.split()[1])
+        assert sec is not None, "proc 0 reported no timing"
+        return sec
+    finally:
+        # One dead/stuck worker must not leave siblings holding the port.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
 
 
 def main():

@@ -86,6 +86,31 @@ def main():
                           "frac_gt_1e3": float((db > 1e-3).mean()),
                           "vs_baseline": float(db.max()) / 1e-3}),
               flush=True)
+
+    # Fused area-shadow kernel (kernels/analytic.py) vs the XLA sample
+    # loop, on the real device: interpret-mode tests can't see Mosaic
+    # lowering numerics (reciprocal-multiply division already bit one
+    # refactor of this kernel). Same draws + predicates => exact.
+    area = "/root/reference/examples/area_light.yaml"
+    if os.path.exists(area):
+        from rray_tpu.io.yaml_loader import load_scene_file
+
+        cam_spec, lights, shapes = load_scene_file(area)
+        scene = compile_scene(shapes, lights, dtype=f32)
+        cam_h = Camera(200, 150, cam_spec["fov"])
+        cam_h.transform = cam_spec["transform"]
+        cam = compile_camera(cam_h, f32)
+        a = np.asarray(render(scene, cam, settings=RenderSettings(
+            rows_per_tile=150, pallas="on")))
+        b = np.asarray(render(scene, cam, settings=RenderSettings(
+            rows_per_tile=150, pallas="off")))
+        da = np.abs(a - b)
+        print(json.dumps({"metric": "area_kernel_parity_maxdiff",
+                          "value": float(da.max()),
+                          "unit": "linear color (expected 0: same draws "
+                                  "and predicates)",
+                          "vs_baseline": float(da.max()) / 1e-3}),
+              flush=True)
     print(json.dumps(out), flush=True)
 
 

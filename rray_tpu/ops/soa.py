@@ -1095,36 +1095,46 @@ def any_hit_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, distance,
     return jnp.any(valid & (t >= 0.0) & (t < distance[None, :]), axis=0)
 
 
+def _sphere_occludes_local(o: V3, d: V3, dist):
+    """Root of the unit-sphere quadratic in [0, dist)? sqrt/div-free.
+
+    Sign tests on b, c, f(dist) and b + 2a*dist decide root membership
+    exactly (a > 0; fuzz-pinned against the slot form in f32 and f64) —
+    sqrt and divide are the multi-cycle VPU ops in an area light's
+    25-samples-per-pixel shadow loop."""
+    a = d.dot(d)
+    b = 2.0 * d.dot(o)
+    c = o.dot(o) - 1.0
+    ok = b * b - 4.0 * a * c >= 0.0  # real roots
+    fd = (a * dist + b) * dist + c   # f(dist)
+    s2 = b + 2.0 * a * dist
+    tm_in = (b <= 0.0) & (c >= 0.0) & ((s2 > 0.0) | (fd < 0.0))
+    tp_in = ((b <= 0.0) | (c <= 0.0)) & (s2 > 0.0) & (fd > 0.0)
+    return ok & (tm_in | tp_in)
+
+
+def _plane_occludes_local(o: V3, d: V3, dist):
+    """xz-plane crossing in [0, dist)? The t = -oy/dy range test
+    multiplied through by dy^2 — no divide."""
+    oy_dy = o.y * d.y
+    return ((jnp.abs(d.y) >= EPSILON) & (oy_dy <= 0.0)
+            & (-oy_dy < dist * d.y * d.y))
+
+
 def _leaf_occludes(scene: sd.SceneData, kind: int, row: int, ro: V3, rd: V3,
                    dist):
     """Does this leaf have a hit with 0 <= t < dist? (shadow predicate)
 
-    Spheres and planes get sqrt/div-free interval forms — the quadratic
-    has a root in [0, dist) iff sign tests on b, c, f(dist) and
-    b + 2a*dist say so, and the plane's t = -oy/dy range test multiplies
-    through by dy^2 — sqrt and divide are the multi-cycle VPU ops in an
-    area light's 25-samples-per-pixel shadow loop. Other shapes reuse
-    their slot forms."""
+    Spheres and planes get sqrt/div-free interval forms; other shapes
+    reuse their slot forms."""
     if kind == sd.SPHERE:
         inv = scene.sph_inv[row]
-        o = affine_point(inv, ro)
-        d = affine_vector(inv, rd)
-        a = d.dot(d)
-        b = 2.0 * d.dot(o)
-        c = o.dot(o) - 1.0
-        ok = b * b - 4.0 * a * c >= 0.0  # real roots
-        fd = (a * dist + b) * dist + c   # f(dist), a > 0
-        s2 = b + 2.0 * a * dist
-        tm_in = (b <= 0.0) & (c >= 0.0) & ((s2 > 0.0) | (fd < 0.0))
-        tp_in = ((b <= 0.0) | (c <= 0.0)) & (s2 > 0.0) & (fd > 0.0)
-        return ok & (tm_in | tp_in)
+        return _sphere_occludes_local(affine_point(inv, ro),
+                                      affine_vector(inv, rd), dist)
     if kind == sd.PLANE:
         inv = scene.pla_inv[row]
-        o = affine_point(inv, ro)
-        d = affine_vector(inv, rd)
-        oy_dy = o.y * d.y
-        return ((jnp.abs(d.y) >= EPSILON) & (oy_dy <= 0.0)
-                & (-oy_dy < dist * d.y * d.y))
+        return _plane_occludes_local(affine_point(inv, ro),
+                                     affine_vector(inv, rd), dist)
     hit = jnp.zeros(ro.x.shape, bool)
     for t, valid in _leaf_slots(scene, kind, row, ro, rd):
         hit = hit | (valid & (t >= 0.0) & (t < dist))

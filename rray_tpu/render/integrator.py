@@ -80,7 +80,7 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
 
     from ..kernels import analytic as kanl
     if (soa._use_pallas(settings, dtype) and not scene.csg_ops
-            and not scene.counts[6]
+            and not scene.counts[6] and scene.prim_kinds
             and all(k in kanl.OCCLUSION_KINDS for k in scene.prim_kinds)):
         # The WHOLE sample loop as one Pallas call per tile
         # (kernels/analytic.py): the XLA scan's per-step chain splits
@@ -113,8 +113,6 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
     rep = lambda c: jnp.tile(c, g)
     over_g = V3(rep(over.x), rep(over.y), rep(over.z))
 
-    one = jnp.ones(g * R, dtype)
-
     def body(acc, xs):
         r0, r1, col, row = xs  # r0/r1: [g, R]; col/row: [g]
         ur = (col[:, None] + r0).reshape(g * R) / level
@@ -122,13 +120,15 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
         pos = V3(light.corner[0] + light.uvec[0] * ur + light.vvec[0] * vr,
                  light.corner[1] + light.uvec[1] * ur + light.vvec[1] * vr,
                  light.corner[2] + light.uvec[2] * ur + light.vvec[2] * vr)
-        # Segment form: the unnormalized direction with dist = 1 tests
-        # the same predicate (a hit with t_norm < |seg| iff t_seg < 1),
-        # skipping the per-sample norm sqrt + reciprocal — the two
-        # multi-cycle VPU ops left in this loop. (Point lights keep the
-        # normalized form: their binary shadows are pinned by exact
-        # goldens.)
-        shadowed = _shadow_test_soa(scene, over_g, pos - over_g, one,
+        # Normalized direction, like the reference: an unnormalized
+        # segment with dist=1 tests the same predicate in exact math but
+        # rescales the EPSILON guards inside the slot forms (plane
+        # |dy| >= eps, cylinder |a| > eps, cone linear case) by |seg|^2,
+        # misclassifying short/long shadow segments.
+        to_light = pos - over_g
+        dist = to_light.norm()
+        direction = to_light * (1.0 / jnp.maximum(dist, 1e-30))
+        shadowed = _shadow_test_soa(scene, over_g, direction, dist,
                                     settings)
         return acc + shadowed.astype(dtype).reshape(g, R).sum(0), None
 
@@ -906,6 +906,12 @@ def _tile_rays(scene: sd.SceneData, cam: CameraData,
                  if light.kind == "area"] or [1])
         max_rays = max(settings.max_rc_elems // (chunk * g), 1)
         rows = min(rows, max(max_rays // cam.hsize, 1))
+    if any(shade_soa._has_image(p) for p in scene.patterns):
+        # The packed-texture fetch materializes a [R, 128] u32 row-gather
+        # intermediate (shade_soa._sample_texture); bound it like the
+        # triangle intermediates so big tiles can't fault the worker.
+        max_rays = max(settings.max_rc_elems // 128, 1)
+        rows = min(rows, max(max_rays // cam.hsize, 1))
     return max(rows * cam.hsize, 1)
 
 
@@ -969,7 +975,9 @@ def render(scene: sd.SceneData, cam: CameraData,
     # WHOLE tile's paths died — scanline tiles are full-width bands that
     # almost always cross some reflective/transparent object, while
     # block-compact tiles localize the live region. Pure relayout on
-    # both ends; bit-identical images.
+    # both ends: per-pixel values are identical EXCEPT area-light jitter,
+    # which is drawn per tile-slot, so swizzling permutes which jitter a
+    # pixel gets (equally valid samples; sampler-tolerance goldens).
     swizzle = (bool(scene.counts[6]) and soa._use_pallas(settings,
                                                          cam.inv.dtype)) \
         or scene.has_reflective or scene.has_transparent

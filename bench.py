@@ -125,7 +125,8 @@ def main():
         import bench_multiproc
         import bench_scaling
         import check_device_parity
-        capture("bwd_fwd", lambda: bench_grad.main(["1", "2"]))
+        for cfg in ("1", "2", "3", "4", "5"):
+            capture(f"bwd_fwd_{cfg}", lambda c=cfg: bench_grad.main([c]))
         capture("scaling", bench_scaling.main)
         # Multi-process (2 x jax.distributed, CPU mesh) efficiency —
         # the closest measurable analog of the N>=2-hosts BASELINE

@@ -73,7 +73,46 @@ def main(which):
         bench_grad("config2", scene, cam,
                    RenderSettings(rows_per_tile=75, max_hits=16,
                                   containers_depth=4))
+    if "3" in which:  # area-light soft shadows (fractional-shadow grads)
+        scene, cam = load(os.path.join(ex, "area_light.yaml"), 400, 300, f32)
+        bench_grad("config3", scene, cam,
+                   RenderSettings(rows_per_tile=150, max_hits=4,
+                                  containers_depth=2))
+    if "4" in which:  # mesh: Pallas kernel forward + custom-VJP backward
+        from rray_tpu import (Camera, Material, Pattern, PointLight, Shape,
+                              compile_camera, compile_scene)
+        from rray_tpu import mathutils as mu
+        from rray_tpu.io.obj_loader import load_obj_file, load_obj_str
+        from bench_mesh import uv_sphere_obj
+
+        teapot = "/root/reference/examples/teapot-low.obj"
+        mat = Material(pattern=Pattern.solid([0.7, 0.5, 0.2]))
+        if os.path.exists(teapot):
+            mesh = load_obj_file(teapot, mat)
+            mesh.transform = mu.compose([mu.rotate_x(-np.pi / 2),
+                                         mu.scale(0.12, 0.12, 0.12)])
+        else:
+            mesh = load_obj_str(uv_sphere_obj(11, 11), mat)
+            mesh.transform = mu.translate(0, 1, 0)
+        floor = Shape("plane", material=Material(
+            pattern=Pattern("checker", a=Pattern.solid([1.0, 1.0, 1.0]),
+                            b=Pattern.solid([0.2, 0.2, 0.2])), specular=0.0))
+        light = PointLight(np.array([-10.0, 10.0, -10.0]), np.ones(3))
+        scene = compile_scene([floor, mesh], [light], dtype=f32)
+        cam_h = Camera(400, 300, np.pi / 3)
+        cam_h.transform = mu.view_transform([0, 1.5, -4], [0, 0.7, 0],
+                                            [0, 1, 0])
+        cam = compile_camera(cam_h, f32)
+        bench_grad("config4", scene, cam,
+                   RenderSettings(rows_per_tile=300, max_hits=4,
+                                  containers_depth=2))
+    if "5" in which:  # CSG + torus + texture (slot machinery backward)
+        scene, cam = load(os.path.join(ex, "csg_showcase.yaml"), 480, 270,
+                          f32)
+        bench_grad("config5", scene, cam,
+                   RenderSettings(rows_per_tile=54, max_hits=24,
+                                  containers_depth=4))
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["1", "2"])
+    main(sys.argv[1:] or ["1", "2", "3", "4", "5"])

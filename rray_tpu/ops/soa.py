@@ -16,6 +16,7 @@ torus.rs:36-93, triangle.rs:72-94.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -340,17 +341,114 @@ def _pallas_triangle_any(scene: sd.SceneData, ro: V3, rd: V3, settings,
     T = scene.counts[6]
     R = ro.x.shape[0]
     interpret = getattr(settings, "pallas", "off") == "interpret"
+    # Occlusion is a comparison outcome — zero gradient almost
+    # everywhere, exactly like the analytic shadow predicates — and the
+    # Pallas kernels define no AD rule, so cut tangents here rather than
+    # give the kernel a (vacuous) VJP.
+    sg = jax.lax.stop_gradient
     ro_c, rd_c, tri_lin, tri_bvh, _, _, padr = _pad_tri_kernel_inputs(
-        scene, ro, rd, normals=False)
+        scene, sg(ro), sg(rd), normals=False)
+    tri_lin, tri_bvh = sg(tri_lin), sg(tri_bvh)
     # Padding rays carry dist 0: the kernels treat them as already
     # satisfied so they don't block block-level early exit.
-    dist = padr(distance, 0.0)
+    dist = padr(sg(distance), 0.0)
     if T >= getattr(settings, "bvh_min_tris", 1024):
         ct = kbvh.bvh_closest_triangle(ro_c, rd_c, tri_bvh, dist=dist,
                                        any_hit=True, interpret=interpret)[0]
         return (ct < dist)[:R]
     hit = ktri.any_triangle(ro_c, rd_c, tri_lin, dist, interpret=interpret)
     return hit[:R] != 0
+
+
+def _mt_winner_xla(idxc, live, normals, ro_c, rd_c, tri_comps):
+    """Differentiable XLA recompute of the winning triangle's
+    Möller–Trumbore outputs (triangle.rs:72-94) from the winner index.
+
+    Backward-pass helper for the Pallas kernels (which define no AD
+    rule): the discrete winner is treated as locally constant — exact
+    almost everywhere, the same argmin convention `_compact_topw` uses —
+    and the continuous outputs (t, u, v[, interpolated world normal,
+    smooth_triangle.rs:99-101]) are recomputed as a plain elementwise
+    chain so jax.vjp pulls cotangents back to the ray components AND the
+    triangle tables (the gather transposes to a scatter-add, so mesh
+    geometry itself is differentiable). `idxc`/`live` are closed-over
+    constants; miss rays carry idx 0 (a real triangle), so every gathered
+    value is finite and masked cotangents stay NaN-free."""
+    g = lambda k: tri_comps[k][idxc]
+    ox, oy, oz = ro_c
+    dx, dy, dz = rd_c
+    p1x, p1y, p1z = g(0), g(1), g(2)
+    e1x, e1y, e1z = g(3), g(4), g(5)
+    e2x, e2y, e2z = g(6), g(7), g(8)
+    cx = dy * e2z - dz * e2y
+    cy = dz * e2x - dx * e2z
+    cz = dx * e2y - dy * e2x
+    det = e1x * cx + e1y * cy + e1z * cz
+    f = 1.0 / jnp.where(live & (jnp.abs(det) >= EPSILON), det, 1.0)
+    sx, sy, sz = ox - p1x, oy - p1y, oz - p1z
+    u = f * (sx * cx + sy * cy + sz * cz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    outs = (t, u, v)
+    if normals:
+        w1 = 1.0 - u - v
+        outs += tuple(w1 * g(9 + k) + u * g(12 + k) + v * g(15 + k)
+                      for k in range(3))
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _kernel_closest(static, ro_c, rd_c, tri_comps, t_init, aux):
+    """Pallas closest-hit with a custom VJP.
+
+    Pallas TPU calls define no AD rule, so `jax.grad` through a mesh
+    scene would fail on device; the backward pass recomputes the winning
+    triangle's Möller–Trumbore partials in plain XLA (`_mt_winner_xla`)
+    with the winner held locally constant. `static` = (use_bvh,
+    interpret); t_init (cull seed) and aux (discrete payload columns)
+    get zero gradients — the seed only gates culling and the payloads
+    are integer ids."""
+    from ..kernels import bvh as kbvh
+    from ..kernels import triangles as ktri
+
+    use_bvh, interpret = static
+    if use_bvh:
+        return kbvh.bvh_closest_triangle(ro_c, rd_c, tri_comps, dist=t_init,
+                                         aux=aux, interpret=interpret)
+    return ktri.closest_triangle(ro_c, rd_c, tri_comps, t_init=t_init,
+                                 aux=aux, interpret=interpret)
+
+
+def _kernel_closest_fwd(static, ro_c, rd_c, tri_comps, t_init, aux):
+    outs = _kernel_closest(static, ro_c, rd_c, tri_comps, t_init, aux)
+    return outs, (ro_c, rd_c, tri_comps, outs[0], outs[3], t_init, aux)
+
+
+def _kernel_closest_bwd(static, res, cts):
+    ro_c, rd_c, tri_comps, t, idx, t_init, aux = res
+    normals = len(tri_comps) == 18
+    idxc = jnp.clip(idx, 0, tri_comps[0].shape[0] - 1)
+    live = jnp.isfinite(t)
+    mask = lambda ct: jnp.where(live, ct, 0.0)
+    # Output order: (t, u, v, idx[int], [nx, ny, nz], *aux) — the int
+    # index carries a float0 cotangent and the aux payloads are discrete
+    # ids cast to f32 (zero cotangent after the caller's int cast).
+    prim_cts = (mask(cts[0]), mask(cts[1]), mask(cts[2]))
+    if normals:
+        prim_cts += tuple(mask(c) for c in cts[4:7])
+    _, vjp = jax.vjp(
+        functools.partial(_mt_winner_xla, idxc, live, normals),
+        ro_c, rd_c, tri_comps)
+    d_ro, d_rd, d_tri = vjp(prim_cts)
+    d_tinit = None if t_init is None else jnp.zeros_like(t_init)
+    d_aux = tuple(jnp.zeros_like(a) for a in aux)
+    return d_ro, d_rd, d_tri, d_tinit, d_aux
+
+
+_kernel_closest.defvjp(_kernel_closest_fwd, _kernel_closest_bwd)
 
 
 def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings,
@@ -368,9 +466,6 @@ def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings,
     and the shade class (both of which would otherwise cost serial
     per-ray gathers downstream).
     """
-    from ..kernels import bvh as kbvh
-    from ..kernels import triangles as ktri
-
     T = scene.counts[6]
     R = ro.x.shape[0]
     interpret = getattr(settings, "pallas", "off") == "interpret"
@@ -378,15 +473,17 @@ def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings,
     ro_c, rd_c, tri_lin, tri_bvh, aux_lin, aux_bvh, padr = (
         _pad_tri_kernel_inputs(scene, ro, rd, normals))
     seed = None if t_init is None else padr(t_init, fill=_INF)
+    # The BVH bounds closest-hit traversal at min(best, dist): a subtree
+    # is skipped iff entry is behind the seed — hits it does report are
+    # exact, and seed-beaten leaves merge away below. `_kernel_closest`
+    # wraps both kernels with the custom VJP (the seed gradient is zero
+    # there; it only gates culling).
     if use_bvh:
-        # The BVH bounds closest-hit traversal at min(best, dist): a
-        # subtree is skipped iff entry is behind the seed — hits it does
-        # report are exact, and seed-beaten leaves merge away below.
-        outs = kbvh.bvh_closest_triangle(ro_c, rd_c, tri_bvh, dist=seed,
-                                         aux=aux_bvh, interpret=interpret)
+        outs = _kernel_closest((True, interpret), ro_c, rd_c, tri_bvh,
+                               seed, aux_bvh)
     else:
-        outs = ktri.closest_triangle(ro_c, rd_c, tri_lin, t_init=seed,
-                                     aux=aux_lin, interpret=interpret)
+        outs = _kernel_closest((False, interpret), ro_c, rd_c, tri_lin,
+                               seed, aux_lin)
     t, u, v, idx = (o[:R] for o in outs[:4])
     # idx only feeds the rare textured-mesh uv gathers downstream — keep
     # it clamped for them; prim/cls come back from the kernel as f32

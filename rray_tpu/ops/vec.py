@@ -54,7 +54,16 @@ class V3:
         return jnp.sqrt(self.dot(self))
 
     def normalize(self) -> "V3":
-        inv = jax.lax.rsqrt(jnp.maximum(self.dot(self), 1e-30))
+        d = self.dot(self)
+        # The floor must keep rsqrt's BACKWARD finite in f32 too: at
+        # x=1e-30 the partial -x^(-3/2)/2 is ~1e45, which overflows f32
+        # to inf, and masked-out lanes (zero vectors whose cotangent is
+        # zero) then produce 0*inf = NaN in reverse mode — seen as NaN
+        # nmat gradients for triangle rows in normal_at. 1e-18 keeps the
+        # partial ~5e26 (finite) and only changes lanes with |v| < 1e-9,
+        # which are degenerate/discarded everywhere this is used.
+        floor = 1e-30 if d.dtype == jnp.float64 else 1e-18
+        inv = jax.lax.rsqrt(jnp.maximum(d, floor))
         return self * inv
 
     def reflect(self, n: "V3") -> "V3":

@@ -143,6 +143,96 @@ class TestInverseRendering:
         assert losses[-1] < 0.05 * losses[0], losses[::6]
 
 
+TEAPOT = "/root/reference/examples/teapot-low.obj"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(TEAPOT),
+                    reason="no reference fixture")
+class TestMeshGrad:
+    """Differentiable mesh rendering. The Pallas triangle/BVH kernels
+    define no AD rule; `ops/soa._kernel_closest` gives them a custom VJP
+    that recomputes the winning triangle's Möller–Trumbore partials in
+    plain XLA (winner held locally constant). Gradients through the
+    kernel path (interpret mode on CPU; the same VJP runs on device)
+    must match the natively differentiable XLA chunk path, and the XLA
+    path itself must match finite differences on mesh geometry."""
+
+    def _setup(self, dtype):
+        from rray_tpu.io.obj_loader import load_obj_file
+
+        mesh = load_obj_file(TEAPOT, Material(
+            pattern=Pattern.solid([0.8, 0.5, 0.3]), specular=0.3,
+            reflective=0.1))
+        mesh.transform = mu.compose([mu.rotate_x(-np.pi / 2),
+                                     mu.scale(0.12, 0.12, 0.12)])
+        floor = Shape("plane", material=Material(
+            pattern=Pattern.solid([0.9, 0.9, 0.9]), specular=0.0))
+        light = PointLight(np.array([-10.0, 10.0, -10.0]), np.ones(3))
+        scene = compile_scene([floor, mesh], [light], dtype=dtype)
+        cam_h = Camera(24, 16, np.pi / 3)
+        cam_h.transform = mu.view_transform([0, 1.5, -4], [0, 0.7, 0],
+                                            [0, 1, 0])
+        cam = compile_camera(cam_h, dtype)
+        return scene, cam
+
+    def _grads(self, scene, cam, settings):
+        params, rest = ptrain.partition_scene(scene)
+        g = jax.grad(lambda p: jnp.mean(
+            render(ptrain.merge_scene(p, rest), cam,
+                   settings=settings) ** 2))(params)
+        return [np.asarray(l) for l in jax.tree_util.tree_leaves(g)]
+
+    def _check_kernel_vs_xla(self, extra):
+        scene, cam = self._setup(jnp.float32)
+        base = dataclasses.replace(SET, rows_per_tile=16, tri_chunk=64,
+                                   **extra)
+        a = self._grads(scene, cam,
+                        dataclasses.replace(base, pallas="interpret"))
+        b = self._grads(scene, cam, dataclasses.replace(base, pallas="off"))
+        assert any(x.size and np.abs(x).max() > 0 for x in a)
+        for x, y in zip(a, b):
+            if not y.size:
+                continue
+            # allclose treats NaN==NaN as equal; grads must be finite
+            # (masked-lane normalize once leaked 0*inf NaNs in f32).
+            assert np.isfinite(x).all() and np.isfinite(y).all()
+            scale = max(1e-3, float(np.abs(y).max()))
+            np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-4 * scale)
+
+    def test_linear_kernel_grad_matches_xla(self):
+        self._check_kernel_vs_xla({})
+
+    def test_bvh_kernel_grad_matches_xla(self):
+        # 240 tris >= bvh_min_tris=64 routes through the LBVH kernel.
+        self._check_kernel_vs_xla({"bvh_min_tris": 64})
+
+    def test_mesh_geometry_finite_difference(self):
+        # Pins geometry-gradient semantics on the XLA path (f64): moving
+        # one vertex component changes shading smoothly away from
+        # silhouettes.
+        scene, cam = self._setup(jnp.float64)
+        settings = dataclasses.replace(SET, rows_per_tile=16, tri_chunk=64)
+        params, rest = ptrain.partition_scene(scene)
+
+        def loss(p):
+            return jnp.mean(render(ptrain.merge_scene(p, rest), cam,
+                                   settings=settings) ** 2)
+
+        g = jax.grad(loss)(params)
+        g_scene = ptrain.merge_scene(g, rest)
+        # Largest-gradient vertex-normal component (smooth in shading).
+        gn = np.asarray(g_scene.tri_n1)
+        i, j = np.unravel_index(np.abs(gn).argmax(), gn.shape)
+        auto = float(gn[i, j])
+        eps = 1e-6
+        bump = lambda d: dataclasses.replace(
+            scene, tri_n1=scene.tri_n1.at[i, j].add(d))
+        pb, _ = ptrain.partition_scene(bump(eps))
+        mb, _ = ptrain.partition_scene(bump(-eps))
+        fd = float((loss(pb) - loss(mb)) / (2 * eps))
+        assert abs(auto - fd) <= 1e-4 * max(1.0, abs(fd)), (auto, fd)
+
+
 class TestWavefrontGradEquivalence:
     """The compact wavefront's AD plumbing (jax.checkpoint on the scan
     body + the compaction sort's fixed-permutation custom VJP) must not

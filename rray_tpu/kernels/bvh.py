@@ -20,8 +20,9 @@ hierarchy:
   VMEM scratch buffer per visited leaf, so triangle storage is bounded
   by HBM, not VMEM (the previous kernel held the whole mesh in VMEM).
   Node AABBs sit in SMEM for dynamic scalar reads, which bounds the
-  tree at 2048 leaves (~512k triangles at the default leaf size — see
-  the assert in `bvh_closest_triangle`).
+  tree at MAX_LEAVES leaves; meshes past ~512k triangles auto-raise the
+  leaf size instead of cliffing (`auto_leaf`), so mesh capacity is
+  bounded only by the VMEM leaf scratch (~16M triangles).
 
 Layout and control flow follow kernels/triangles.py: the [leaf, BR]
 intersection tiles keep rays in lanes and triangles in sublanes (the
@@ -53,6 +54,22 @@ from .triangles import _inv_dir, _ray_slab
 BR = 512          # rays per program (block)
 LEAF = 256        # triangles per leaf (sublane-aligned)
 STACK = 64        # traversal stack bound (>= tree depth + 1)
+MAX_LEAVES = 2048  # SMEM node-box budget: [6, 2*Lp] f32 = 96 KB at 2048
+
+
+def auto_leaf(T: int, leaf: int = LEAF, max_leaves: int = MAX_LEAVES) -> int:
+    """Smallest sublane-aligned leaf size >= `leaf` whose tree fits the
+    SMEM node-box budget (`max_leaves` padded leaves).
+
+    The reference's linear group scan has no size cliff
+    (load_obj.rs:124-139); neither should the BVH — a 600k-triangle mesh
+    auto-raises leaf 256 -> 296 instead of tripping an assert deep
+    inside render. Larger leaves trade slab-test granularity for tree
+    height; traversal stays correct at any leaf size (the A/B tests pin
+    this at a forced-small `max_leaves`)."""
+    need = -(-T // max_leaves)          # ceil: tris one leaf must absorb
+    raised = -(-need // 8) * 8          # sublane-align the VMEM scratch
+    return max(leaf, raised)
 
 _INF = float("inf")
 _FAR = 1e30
@@ -288,10 +305,12 @@ def _traverse_kernel(Lp, leaf, any_hit, normals, n_aux,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("leaf", "any_hit", "interpret"))
+                   static_argnames=("leaf", "any_hit", "interpret",
+                                    "max_leaves"))
 def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None, aux=None,
                          leaf: int = LEAF, any_hit: bool = False,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         max_leaves: int = MAX_LEAVES):
     """BVH closest-hit (or bounded any-hit) over triangles.
 
     ro/rd_comps: 3-tuples of [R] f32 (R a multiple of BR); tri_comps:
@@ -315,17 +334,21 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None, aux=None,
     normals = len(tri_comps) == 18
     aux = tuple(aux) if aux else ()
     assert not (any_hit and (normals or aux)), "any-hit reports no payload"
+    # Node boxes ([6, 2*Lp] f32) live in SMEM for dynamic scalar reads,
+    # so scalar memory bounds the LEAF COUNT, not the mesh: grow the
+    # leaf size instead of cliffing (the reference's linear scan has no
+    # size limit — load_obj.rs:124-139). The VMEM leaf scratch grows
+    # with it (leaf x 512 B); assert that secondary budget explicitly
+    # rather than failing opaquely inside Mosaic.
+    leaf = auto_leaf(tri_comps[0].shape[0], leaf, max_leaves)
+    assert leaf * 512 <= 8 * 1024 * 1024, (
+        f"auto-raised leaf {leaf} needs {leaf * 512} B of VMEM scratch; "
+        f"mesh of {tri_comps[0].shape[0]} triangles exceeds the kernel's "
+        f"budget — split the mesh")
     packed, nlo, nhi, Lp = build_tree(
         tri_comps[0:3], tri_comps[3:6], tri_comps[6:9],
         normals=tri_comps[9:18] if normals else None, aux=aux, leaf=leaf)
-    # Node boxes ([6, 2*Lp] f32) live in SMEM for dynamic scalar reads;
-    # scalar memory bounds the tree, not HBM. 2048 leaves = 96 KB of
-    # boxes (~512k triangles at leaf=256) — assert instead of failing
-    # opaquely inside Mosaic.
-    assert Lp <= 2048, (
-        f"mesh of {tri_comps[0].shape[0]} triangles needs {Lp} leaves; "
-        f"node boxes exceed the SMEM budget — raise `leaf` or split the "
-        f"mesh")
+    assert Lp <= max_leaves, (Lp, max_leaves)
     NN = 2 * Lp
     if dist is None:
         dist = jnp.full((R,), _INF, jnp.float32)

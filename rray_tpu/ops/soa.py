@@ -56,7 +56,11 @@ def _sphere_slots(o: V3, d: V3):
     c = o.dot(o) - 1.0
     disc = b * b - 4.0 * a * c
     ok = disc >= 0.0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # 1e-30 floor (not 0): sqrt'(0) = inf meets the miss rays' zero
+    # cotangent as 0*inf = NaN, poisoning every upstream parameter's
+    # gradient. Forward t values change only in the measure-zero band
+    # 0 < disc < 1e-30 (and miss slots are discarded by `ok` anyway).
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
     inv2a = 0.5 / a  # |d| > 0 for camera/shadow rays
     return [((-b - sq) * inv2a, ok), ((-b + sq) * inv2a, ok)]
 
@@ -115,7 +119,7 @@ def _cylinder_slots(o: V3, d: V3, ymin, ymax, closed):
     c = o.x * o.x + o.z * o.z - 1.0
     disc = b * b - 4.0 * a * c
     ok = body_possible & (disc >= 0.0)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-30))  # NaN guard: _sphere_slots
     inv2a = 0.5 / jnp.where(body_possible, a, 1.0)
     lo = (-b - sq) * inv2a
     hi = (-b + sq) * inv2a
@@ -146,7 +150,7 @@ def _cone_slots(o: V3, d: V3, ymin, ymax, closed):
     disc = b * b - 4.0 * a * c
     quad_path = ~(a_small & b_small) & ~lin_hit
     okq = quad_path & (disc >= 0.0)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-30))  # NaN guard: _sphere_slots
     inv2a = 0.5 / jnp.where(a_small, jnp.where(a < 0, -EPSILON, EPSILON), a)
     lo = (-b - sq) * inv2a
     hi = (-b + sq) * inv2a
@@ -522,13 +526,16 @@ def closest_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, settings,
     CSG path merges in the filtered member hit separately)."""
     dtype = ro.dtype
     R = ro.x.shape
-    best_t = jnp.full(R, _INF, dtype)
-    zero = jnp.zeros(R, dtype)
-    best_prim = jnp.zeros(R, jnp.int32)
+    # _like inits keep the fold state's varying-axis type tied to the
+    # rays under shard_map (fresh constants are "unvarying" and trip
+    # scan-carry typechecks in the chunked triangle fold).
+    best_t = jnp.full_like(ro.x, _INF)
+    zero = jnp.zeros_like(ro.x)
+    best_prim = jnp.zeros_like(ro.x, dtype=jnp.int32)
     best_u = zero
     best_v = zero
-    best_tri = jnp.zeros(R, jnp.int32)
-    best_cls = jnp.zeros(R, jnp.int32)
+    best_tri = jnp.zeros_like(ro.x, dtype=jnp.int32)
+    best_cls = jnp.zeros_like(ro.x, dtype=jnp.int32)
     tri_n = None
 
     # prim -> class mapping is static, so the analytic unrolled loop
@@ -865,11 +872,10 @@ def sorted_slots_full_soa(scene: sd.SceneData, ro: V3, rd: V3, settings):
                 return (mt[:K_tri], mu_[:K_tri], mv[:K_tri], mp[:K_tri],
                         mi[:K_tri]), None
 
-            init = (jnp.full((K_tri,) + R, _INF, dtype),
-                    jnp.zeros((K_tri,) + R, dtype),
-                    jnp.zeros((K_tri,) + R, dtype),
-                    jnp.zeros((K_tri,) + R, jnp.int32),
-                    jnp.zeros((K_tri,) + R, jnp.int32))
+            # Carry init derives from the rays (varying under shard_map).
+            zf = jnp.broadcast_to((ro.x * 0.0)[None], (K_tri,) + R)
+            zi = zf.astype(jnp.int32)
+            init = (zf + _INF, zf, zf, zi, zi)
             xs = (jnp.arange(n_chunks), p1, e1, e2, pid_tbl, live)
             (tri_t, tri_u, tri_v, tri_p, tri_i), _ = jax.lax.scan(
                 body, init, xs)
@@ -942,8 +948,10 @@ def apply_csg_soa(scene: sd.SceneData, slots):
             keep = valid_k & (~under | allowed)
             return (inl ^ lhit, inr ^ (s == 2)), keep
 
-        init = (jnp.zeros(R, bool), jnp.zeros(R, bool))
-        _, valid = jax.lax.scan(body, init, (prim, valid))
+        # Carry init derives from the slot arrays so its varying-axis
+        # type matches the body output under shard_map.
+        zb = valid[0] & False
+        _, valid = jax.lax.scan(body, (zb, zb), (prim, valid))
     return (t, prim, valid) + tuple(extra)
 
 
@@ -1035,8 +1043,10 @@ def refractive_indices_soa(scene: sd.SceneData, slots, hit_idx, depth=8):
         n2 = jnp.where(hit_k, top_ior(stack, size), n2)
         return (stack, size, n1, n2), None
 
-    init = (jnp.zeros((D,) + R, jnp.int32), jnp.zeros(R, jnp.int32),
-            jnp.ones(R, dtype), jnp.ones(R, dtype))
+    # Carry init derives from the slot arrays (varying under shard_map).
+    zi = prim[0] * 0
+    onev = t[0] * 0.0 + 1.0
+    init = (jnp.stack([zi] * D, axis=0), zi, onev, onev)
     (_, _, n1, n2), _ = jax.lax.scan(body, init, (prim, valid, is_hit))
     return n1, n2
 
@@ -1278,7 +1288,7 @@ def any_hit_soa(scene: sd.SceneData, ro: V3, rd: V3, distance, settings,
     the kernel's input/output materialization and per-block dispatch
     swamp the work. The fused kernel that pays off is the whole
     area-light sample LOOP (kernels/analytic.py), one call per tile."""
-    hit = jnp.zeros(ro.x.shape, bool)
+    hit = jnp.zeros_like(ro.x, dtype=bool)
     for pid, (kind, row) in enumerate(zip(scene.prim_kinds,
                                           scene.prim_rows_static)):
         if kind == sd.TRIANGLE:

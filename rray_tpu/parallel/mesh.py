@@ -56,19 +56,29 @@ def render_sharded(scene: sd.SceneData, cam: CameraData, mesh: Mesh,
     Rays stay in SoA component arrays end-to-end (the same layout the
     single-device hot path uses — an earlier [R,3] wrapper here cost 9x
     on the sphere scene) and each device runs the scene-appropriate SoA
-    node over its contiguous ray block. Returns the image
-    [vsize, hsize, 3] (committed to the mesh's devices, sharded by rows
-    when vsize divides evenly).
+    node over its contiguous ray block, tiled under `lax.map` with the
+    SAME buffer caps the single-device `render()` applies
+    (`integrator._tile_rays`): an uncapped per-shard node call can
+    materialize the [R, chunk]/[R, 128] HBM intermediates that fault the
+    TPU worker on big frames (the documented multi-100MB-buffer crash
+    class). Returns the image [vsize, hsize, 3] (committed to the
+    mesh's devices, sharded by rows when vsize divides evenly).
     """
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
     ro, rd = all_rays_soa(cam)
     R = ro.x.shape[0]
-    ro = V3(_pad_comp(ro.x, 0.0, n), _pad_comp(ro.y, 0.0, n),
-            _pad_comp(ro.z, 0.0, n))
+    # Per-device tile size: the single-device cap, but never bigger than
+    # one device's shard. Pad the ray axis to n_devices x tile so every
+    # shard splits into whole tiles.
+    tile = min(integrator._tile_rays(scene, cam, settings), -(-R // n))
+    mult = n * tile
+    ro = V3(_pad_comp(ro.x, 0.0, mult), _pad_comp(ro.y, 0.0, mult),
+            _pad_comp(ro.z, 0.0, mult))
     # Padding rays point +z from origin; their colors are discarded.
-    rd = V3(_pad_comp(rd.x, 0.0, n), _pad_comp(rd.y, 0.0, n),
-            _pad_comp(rd.z, 1.0, n))
+    rd = V3(_pad_comp(rd.x, 0.0, mult), _pad_comp(rd.y, 0.0, mult),
+            _pad_comp(rd.z, 1.0, mult))
+    n_local = ro.x.shape[0] // mult
     key = jax.random.PRNGKey(seed)
     node = integrator._soa_node_fn(scene)
 
@@ -76,10 +86,22 @@ def render_sharded(scene: sd.SceneData, cam: CameraData, mesh: Mesh,
              out_specs=P(axis))
     def shard_render(scene_, ro_, rd_, key_):
         # Each device folds its mesh position into the sampling key so
-        # area-light jitter stays decorrelated across shards.
+        # area-light jitter stays decorrelated across shards. Local
+        # tiles share the key like the single-device tile loop does.
         k = jax.random.fold_in(key_, jax.lax.axis_index(axis))
-        out = node(scene_, ro_, rd_, settings.depth, settings, k)
-        return out.to_array()
+
+        def tile_fn(args):
+            o, d = args
+            return node(scene_, o, d, settings.depth, settings,
+                        k).to_array()
+
+        if n_local == 1:
+            return tile_fn((ro_, rd_))
+        resh = lambda v: V3(v.x.reshape(n_local, tile),
+                            v.y.reshape(n_local, tile),
+                            v.z.reshape(n_local, tile))
+        out = jax.lax.map(tile_fn, (resh(ro_), resh(rd_)))
+        return out.reshape(n_local * tile, 3)
 
     colors = shard_render(scene, ro, rd, key)
     return colors[:R].reshape(cam.vsize, cam.hsize, 3)

@@ -132,7 +132,10 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
                                     settings)
         return acc + shadowed.astype(dtype).reshape(g, R).sum(0), None
 
-    acc, _ = jax.lax.scan(body, jnp.zeros(R, dtype),
+    # zeros_like keeps the carry's varying-axis type equal to the body
+    # output's under shard_map (a fresh jnp.zeros is "unvarying" and
+    # trips the scan carry typecheck).
+    acc, _ = jax.lax.scan(body, jnp.zeros_like(over.x),
                           (rand[0].reshape(level, g, R),
                            rand[1].reshape(level, g, R),
                            cols.reshape(level, g), rows.reshape(level, g)))
@@ -253,11 +256,17 @@ def _color_at_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
 
 
 def _schlick_soa(eyev: V3, normalv: V3, n1, n2):
-    """Fresnel approximation (computations.rs:39-54), component form."""
+    """Fresnel approximation (computations.rs:39-54), component form.
+
+    The sqrt clamp floor is 1e-30, not 0: at TIR the clamp is active and
+    sqrt'(0)=inf meets the clamp's zero cotangent — 0*inf NaNs that
+    contaminate every scene parameter's gradient. The floor keeps the
+    partial finite; forward values change only when 0 < 1-sin2_t < 1e-30
+    (measure-zero), and at TIR cos_t is discarded anyway."""
     cos = eyev.dot(normalv)
     n = n1 / n2
     sin2_t = n * n * (1.0 - cos * cos)
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-30))
     cos_eff = jnp.where(n1 > n2, cos_t, cos)
     r0 = ((n1 - n2) / (n1 + n2)) ** 2
     reflectance = r0 + (1.0 - r0) * (1.0 - cos_eff) ** 5
@@ -350,12 +359,13 @@ def _sorted_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
     transparency = jnp.where(found, reader.col(sd.CLS_TRANSPARENCY), 0.0)
 
     reflectv = rd.reflect(normalv)
-    # Refraction direction + TIR (scene.rs:310-336).
+    # Refraction direction + TIR (scene.rs:310-336). The 1e-30 sqrt
+    # floor (vs 0) avoids inf*0 NaN cotangents at TIR — see _schlick_soa.
     n_ratio = n1 / n2
     cos_i = eyev.dot(normalv)
     sin2_t = n_ratio * n_ratio * (1.0 - cos_i * cos_i)
     tir = sin2_t > 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-30))
     direction = normalv * (n_ratio * cos_i - cos_t) - eyev * n_ratio
     live = found & ~tir & (transparency > 0.0)
     refr_dir = V3(jnp.where(live, direction.x, 0.0),
@@ -400,14 +410,18 @@ def _color_at_sorted_scan(scene: sd.SceneData, ro: V3, rd: V3,
     dtype = ro.dtype
 
     def expand(c, fill):
+        # Constants derive from `c` (x*0+fill), not jnp.full: fresh
+        # constants are "unvarying" under shard_map and trip the scan
+        # carry typecheck against the body's varying outputs.
         if W == 1:
             return c
-        return jnp.concatenate([c, jnp.full(((W - 1) * R,), fill, dtype)])
+        return jnp.concatenate([c, jnp.tile(c * 0.0 + fill, W - 1)])
 
     origins = V3(expand(ro.x, 0.0), expand(ro.y, 0.0), expand(ro.z, 0.0))
     dirs = V3(expand(rd.x, 0.0), expand(rd.y, 0.0), expand(rd.z, 1.0))
-    weights = expand(jnp.ones(R, dtype), 0.0)
-    acc0 = V3(jnp.zeros(R, dtype), jnp.zeros(R, dtype), jnp.zeros(R, dtype))
+    weights = expand(ro.x * 0.0 + 1.0, 0.0)
+    zR = ro.x * 0.0
+    acc0 = V3(zR, zR, zR)
 
     def interleave(a, b):
         # Children of the first W//2 parent rows, heap order.
@@ -540,8 +554,10 @@ def _color_at_compact_scan(scene: sd.SceneData, ro: V3, rd: V3,
     # unrolls blow up the XLA graph the scan exists to avoid. Weights of
     # un-spawned rows are exact zeros, so results are unchanged (the
     # full-capacity A/B pins this).
-    acc = (jnp.zeros(R, dtype),) * 3
-    flat = (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, jnp.ones(R, dtype))
+    # All fresh constants derive from the ray arrays (x*0+fill) so their
+    # varying-axis type matches the node outputs under shard_map.
+    acc = (ro.x * 0.0,) * 3
+    flat = (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, ro.x * 0.0 + 1.0)
     width, start = 1, 0
     while start <= remaining and 2 * width <= W and start < 2:
         def prefix_level(flat, acc, level=start, width=width):
@@ -562,11 +578,11 @@ def _color_at_compact_scan(scene: sd.SceneData, ro: V3, rd: V3,
                         cat(wf * refl_w, wf * refr_w)), contrib
 
             def dead_fn(_):
-                z = jnp.zeros((width * R,), dtype)
-                dead = (z, z, z, z, z, jnp.ones((width * R,), dtype), z)
+                z = ox * 0.0
+                dead = (z, z, z, z, z, z + 1.0, z)
                 return tuple(jnp.concatenate([a, b])
                              for a, b in zip(dead, dead)), \
-                    (jnp.zeros(R, dtype),) * 3
+                    (z.reshape(width, R)[0],) * 3
 
             if level == 0:
                 flat_n, contrib = live_fn(None)  # primaries always live
@@ -585,7 +601,8 @@ def _color_at_compact_scan(scene: sd.SceneData, ro: V3, rd: V3,
         start += 1
 
     def lift(c, fill):
-        pad = jnp.full((W - width, R), fill, dtype)
+        row = c.reshape(width, R)[:1] * 0.0 + fill
+        pad = jnp.broadcast_to(row, (W - width, R))
         return jnp.concatenate([c.reshape(width, R), pad], 0)
 
     state = (lift(flat[0], 0.0), lift(flat[1], 0.0), lift(flat[2], 0.0),
@@ -619,7 +636,7 @@ def _color_at_compact_scan(scene: sd.SceneData, ro: V3, rd: V3,
             return _compact_topw(W)(keys, *ops), contrib
 
         def dead_fn(_):
-            return state, (jnp.zeros(R, dtype),) * 3
+            return state, (state[0][0] * 0.0,) * 3
 
         state_n, contrib = jax.lax.cond(jnp.any(w != 0.0), live_fn, dead_fn,
                                         None)
@@ -695,11 +712,12 @@ def _normalize(v):
 
 
 def _schlick(eyev, normalv, n1, n2):
-    """Fresnel approximation (computations.rs:39-54)."""
+    """Fresnel approximation (computations.rs:39-54). 1e-30 sqrt floor:
+    see _schlick_soa."""
     cos = _dot(eyev, normalv)
     n = n1 / n2
     sin2_t = n * n * (1.0 - cos * cos)
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-30))
     cos_eff = jnp.where(n1 > n2, cos_t, cos)
     r0 = ((n1 - n2) / (n1 + n2)) ** 2
     reflectance = r0 + (1.0 - r0) * (1.0 - cos_eff) ** 5
@@ -802,7 +820,7 @@ def _color_at_sorted(scene: sd.SceneData, ro, rd, remaining: int,
         cos_i = _dot(eyev, normalv)
         sin2_t = n_ratio * n_ratio * (1.0 - cos_i * cos_i)
         tir = sin2_t > 1.0
-        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-30))
         direction = (normalv * (n_ratio * cos_i - cos_t)[:, None]
                      - eyev * n_ratio[:, None])
         live = found & ~tir & (transparency > 0.0)

@@ -264,6 +264,94 @@ class TestBVH:
         np.testing.assert_allclose(vs[win], v0[win], rtol=1e-6)
 
 
+class TestBVHLeafScaling:
+    """Meshes past the SMEM node-box budget auto-raise the leaf size
+    instead of asserting (the reference's linear scan has no size cliff
+    — load_obj.rs:124-139)."""
+
+    def test_auto_leaf_math(self):
+        from rray_tpu.kernels import bvh as kbvh
+
+        # Below the budget: leaf unchanged.
+        assert kbvh.auto_leaf(240) == kbvh.LEAF
+        assert kbvh.auto_leaf(kbvh.MAX_LEAVES * kbvh.LEAF) == kbvh.LEAF
+        # 600k triangles used to trip the 2048-leaf assert; now the leaf
+        # grows to ceil(600000/2048)=293 -> 296 (sublane-aligned).
+        leaf = kbvh.auto_leaf(600_000)
+        assert leaf == 296
+        Lp, _ = kbvh.tree_sizes(600_000, leaf)
+        assert Lp <= kbvh.MAX_LEAVES
+        # Monotone + always sufficient across a size sweep.
+        for T in (1, 1000, 524_289, 2_000_000, 10_000_000):
+            lf = kbvh.auto_leaf(T)
+            assert lf % 8 == 0
+            Lp, _ = kbvh.tree_sizes(T, lf)
+            assert Lp <= kbvh.MAX_LEAVES
+
+    def test_auto_raised_leaf_traversal_matches(self):
+        """Force the auto-raise path with a tiny max_leaves budget: the
+        reshaped tree (2 fat leaves instead of 8) must reproduce the
+        default traversal exactly — same winners, same payloads."""
+        from rray_tpu.kernels import bvh as kbvh
+
+        rng = np.random.default_rng(13)
+        T, R = 1536, 512
+        centers = rng.uniform(-12, 12, (3, T)).astype(np.float32)
+        p1 = centers + rng.uniform(-0.3, 0.3, (3, T)).astype(np.float32)
+        e1 = rng.uniform(-0.6, 0.6, (3, T)).astype(np.float32)
+        e2 = rng.uniform(-0.6, 0.6, (3, T)).astype(np.float32)
+        tri = tuple(jnp.asarray(c) for c in (*p1, *e1, *e2))
+        ro = tuple(jnp.asarray(
+            rng.uniform(-1, 1, R).astype(np.float32)) for _ in range(3))
+        d = rng.uniform(-1, 1, (3, R)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=0, keepdims=True)
+        rd = tuple(jnp.asarray(c) for c in d)
+
+        base = [np.asarray(o) for o in kbvh.bvh_closest_triangle(
+            ro, rd, tri, interpret=True)]
+        raised = [np.asarray(o) for o in kbvh.bvh_closest_triangle(
+            ro, rd, tri, interpret=True, max_leaves=2)]
+        hit = np.isfinite(base[0])
+        assert hit.any()
+        assert (np.isfinite(raised[0]) == hit).all()
+        for a, b in zip(base, raised):
+            np.testing.assert_allclose(a[hit], b[hit], rtol=1e-6, atol=0)
+
+    @pytest.mark.slow
+    def test_600k_mesh_renders(self):
+        """>=600k-triangle procedural mesh traverses the auto-raised tree
+        (interpret mode) and agrees with the exhaustive linear kernel."""
+        from rray_tpu.kernels import bvh as kbvh
+        from rray_tpu.kernels import triangles as ktri
+
+        rng = np.random.default_rng(17)
+        T, R = 600_000, 512
+        centers = rng.uniform(-30, 30, (3, T)).astype(np.float32)
+        p1 = centers + rng.uniform(-0.2, 0.2, (3, T)).astype(np.float32)
+        e1 = rng.uniform(-0.4, 0.4, (3, T)).astype(np.float32)
+        e2 = rng.uniform(-0.4, 0.4, (3, T)).astype(np.float32)
+        tri = tuple(jnp.asarray(c) for c in (*p1, *e1, *e2))
+        ro = tuple(jnp.asarray(
+            rng.uniform(-1, 1, R).astype(np.float32)) for _ in range(3))
+        d = rng.uniform(-1, 1, (3, R)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=0, keepdims=True)
+        rd = tuple(jnp.asarray(c) for c in d)
+
+        bt, bu, bv, bi = kbvh.bvh_closest_triangle(ro, rd, tri,
+                                                   interpret=True)
+        padT = (-T) % ktri.chunk_size(T)
+        trip = tuple(jnp.pad(c, (0, padT),
+                             constant_values=(ktri._FAR if k < 3 else 0.0))
+                     for k, c in enumerate(tri))
+        lt, lu, lv, li = ktri.closest_triangle(ro, rd, trip, interpret=True)
+        bt, lt = np.asarray(bt), np.asarray(lt)
+        hit = np.isfinite(lt)
+        assert hit.any()
+        assert (np.isfinite(bt) == hit).all()
+        np.testing.assert_allclose(bt[hit], lt[hit], rtol=2e-4, atol=1e-5)
+        assert (np.asarray(bi)[hit] == np.asarray(li)[hit]).all()
+
+
 class TestLinearKernelVariants:
     """Shadow any-hit and seed-culled closest-hit forms of the linear
     chunk kernel (kernels/triangles.py) vs the plain closest kernel."""

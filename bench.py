@@ -117,7 +117,7 @@ def main():
             except Exception as e:  # one bad config must not kill the bench
                 suite[label] = f"error: {e}"[:200]
 
-        for cfg in ("2", "3", "4", "5"):
+        for cfg in ("2", "3", "4", "4b", "5"):
             capture(f"config{cfg}", lambda c=cfg: bench_suite.main([c]))
         # Named BASELINE metrics: backward/forward time ratio + 1-chip
         # SPMD (shard_map) efficiency.
@@ -135,6 +135,10 @@ def main():
         # On-device kernel-vs-XLA parity: CPU tests can't see TPU-only
         # numerics (bf16 matmul truncation shipped invisibly once).
         capture("kernel_parity", check_device_parity.main)
+        # Whole-frame TPU-f32 vs CPU-f64 parity after the u8 cast
+        # (BASELINE.md forward-parity target).
+        import check_frame_parity
+        capture("frame_parity", check_frame_parity.main)
     except Exception:
         pass
 

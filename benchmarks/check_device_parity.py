@@ -87,6 +87,32 @@ def main():
                           "vs_baseline": float(db.max()) / 1e-3}),
               flush=True)
 
+    # Fused Whitted-wavefront kernel (kernels/whitted.py) vs the XLA
+    # compact path on the glass scene: the whole bounce scan runs
+    # in-kernel, so this pins its Mosaic numerics end-to-end.
+    glass = os.path.join(BASE, "examples", "glass.yaml")
+    if os.path.exists(glass):
+        from rray_tpu.io.yaml_loader import load_scene_file
+
+        cam_spec, lights, shapes = load_scene_file(glass)
+        scene = compile_scene(shapes, lights, dtype=f32)
+        cam_h = Camera(160, 120, cam_spec["fov"])
+        cam_h.transform = cam_spec["transform"]
+        cam = compile_camera(cam_h, f32)
+        a = np.asarray(render(scene, cam, settings=RenderSettings(
+            rows_per_tile=120, max_hits=16, containers_depth=4,
+            pallas="on")))
+        b = np.asarray(render(scene, cam, settings=RenderSettings(
+            rows_per_tile=120, max_hits=16, containers_depth=4,
+            pallas="off")))
+        dw = np.abs(a - b)
+        print(json.dumps({"metric": "whitted_kernel_parity_maxdiff",
+                          "value": float(dw.max()),
+                          "unit": "linear color (tolerance ~1e-3)",
+                          "frac_gt_1e3": float((dw > 1e-3).mean()),
+                          "vs_baseline": float(dw.max()) / 1e-3}),
+              flush=True)
+
     # Fused area-shadow kernel (kernels/analytic.py) vs the XLA sample
     # loop, on the real device: interpret-mode tests can't see Mosaic
     # lowering numerics (reciprocal-multiply division already bit one

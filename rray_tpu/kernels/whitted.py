@@ -1,0 +1,575 @@
+"""Pallas TPU kernel: the ENTIRE compact Whitted wavefront, fused.
+
+The XLA compact wavefront (render/integrator.py:_color_at_compact_scan)
+evaluates one batched node per depth level; each node is ~30 elementwise
+passes over [W*R] HBM buffers (hit slots, shadow predicates, n1/n2
+crossing folds, Phong, Schlick, the 2W-row compaction sort), and
+ablation on the glass BASELINE frame showed no single dominator — the
+frame is bound by HBM round trips between fusions plus per-level fixed
+costs (72 Mrays/s; removing the sort, shadows, and n1/n2 TOGETHER only
+reached 115M). This kernel runs the WHOLE level scan per 512-ray block
+with the wavefront state resident in VMEM:
+
+* state [7, W, BR] (origin, direction, weight) never touches HBM;
+* each level evaluates W per-pixel path rows; a row whose weights are
+  all zero in this block is SKIPPED with `pl.when` — blocks are
+  swizzled 16x32 pixel tiles, so live paths localize and deep levels
+  typically run 1-2 rows instead of W (the XLA path can only skip at
+  whole-tile = 120k-ray granularity);
+* children are compacted per pixel by an odd-even transposition
+  network over the 2W child rows (strict compare => stable, matching
+  lax.sort's tie order in the XLA path);
+* prim affines/materials and pattern-tree coefficients are SMEM
+  scalars; slot formulas are ops/soa.py's, traced verbatim (the same
+  reuse kernels/analytic.py relies on), so intersection quirks cannot
+  drift from the reference semantics they pin (sphere.rs:64-78,
+  plane.rs:51-58, cube.rs:48-77, cylinder.rs:94-136, cone.rs:134-141,
+  scene.rs:159-336, light.rs:98-140, computations.rs:39-54).
+
+Applicability (`applicable()`): analytic prims in OCCLUSION_KINDS, no
+CSG / mesh / torus, point lights only, cheap pattern trees (no texture
+gathers or Perlin). Everything else falls back to the XLA wavefront.
+The caller wraps the kernel in a custom VJP whose backward recomputes
+through the XLA path, so gradients are exactly the XLA gradients.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EPSILON
+from ..ops.vec import V3
+from ..scene import data as sd
+from .analytic import OCCLUSION_KINDS, _occludes
+
+BR = 512   # lanes per block (one swizzled 16x32 pixel tile)
+SUB = 8    # sublanes per program: 8 blocks -> full (8, 128) vregs
+_INF = float("inf")
+# f32 over/under offset (config.offset_eps) and the n1/n2 hit-match
+# tolerance (ops/soa.py refractive_indices_direct), inlined as constants
+# — the kernel is f32-only.
+_EPS_OFF = 1e-3
+_TOL = 1e-4
+
+CHEAP_PATTERNS = ("solid", "stripe", "gradient", "ring", "checker", "blend")
+
+
+def _tree_cheap(node) -> bool:
+    if node is None:
+        return True
+    return node.ptype in CHEAP_PATTERNS and _tree_cheap(node.a) \
+        and _tree_cheap(node.b)
+
+
+def applicable(scene, settings, dtype) -> bool:
+    """Can this scene's compact wavefront run as the fused kernel?"""
+    from ..ops import soa
+
+    if not soa._use_pallas(settings, dtype):
+        return False
+    if scene.csg_ops or scene.counts[6] or scene.counts[5]:
+        return False  # CSG / triangles / torus: XLA wavefront
+    if not all(k in OCCLUSION_KINDS for k in scene.prim_kinds):
+        return False
+    if len(scene.prim_kinds) == 0 or len(scene.prim_kinds) > 16:
+        return False
+    if not all(light.kind == "point" for light in scene.lights):
+        return False
+    return all(_tree_cheap(p) for p in scene.patterns)
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing: per-prim params, pattern trees, lights.
+# ---------------------------------------------------------------------------
+
+# Per-prim SMEM row layout (f32):
+#  0-11  world->object affine [3,4]
+# 12-20  normal matrix [3,3] (object normal -> world, unnormalized)
+# 21     ymin   22 ymax   23 closed
+# 24 ambient  25 diffuse  26 specular  27 shininess
+# 28 reflective  29 transparency  30 ior   31 pad
+P_COLS = 32
+
+
+def pack_prims(scene):
+    """[P, 32] f32 prim table from the class shade table (identical
+    values to what the XLA ClassReader selects)."""
+    tbl = scene.cls_table.astype(jnp.float32)
+    rows = []
+    for pid in range(len(scene.prim_kinds)):
+        ci = scene.prim_class_static[pid]
+        r = tbl[ci]
+        rows.append(jnp.concatenate([
+            r[sd.CLS_INV:sd.CLS_INV + 12],
+            r[sd.CLS_NMAT:sd.CLS_NMAT + 9],
+            r[sd.CLS_PMIN:sd.CLS_PMIN + 1],
+            r[sd.CLS_PMAX:sd.CLS_PMAX + 1],
+            r[sd.CLS_CLOSED:sd.CLS_CLOSED + 1],
+            r[sd.CLS_AMBIENT:sd.CLS_AMBIENT + 1],
+            r[sd.CLS_DIFFUSE:sd.CLS_DIFFUSE + 1],
+            r[sd.CLS_SPECULAR:sd.CLS_SPECULAR + 1],
+            r[sd.CLS_SHININESS:sd.CLS_SHININESS + 1],
+            r[sd.CLS_REFLECTIVE:sd.CLS_REFLECTIVE + 1],
+            r[sd.CLS_TRANSPARENCY:sd.CLS_TRANSPARENCY + 1],
+            r[sd.CLS_IOR:sd.CLS_IOR + 1],
+            jnp.zeros((1,), jnp.float32),
+        ]))
+    return jnp.stack(rows)
+
+
+def pack_patterns(scene):
+    """Flatten every (cheap) pattern tree into one [N, 16] f32 table
+    plus static per-root descriptors (ptype, row, a_descr, b_descr).
+
+    Node row layout: 0-11 inv affine [3,4], 12-14 color, 15 scale."""
+    rows = []
+    descrs = []
+
+    def walk(node):
+        if node is None:
+            return None
+        idx = len(rows)
+        rows.append(jnp.concatenate([
+            node.inv.reshape(12).astype(jnp.float32),
+            node.color.reshape(3).astype(jnp.float32),
+            jnp.asarray(node.scale, jnp.float32).reshape(1),
+        ]))
+        return (node.ptype, idx, walk(node.a), walk(node.b))
+
+    for root in scene.patterns:
+        descrs.append(walk(root))
+    return jnp.stack(rows), tuple(descrs)
+
+
+def pack_lights(scene):
+    """[L, 6] f32: position, intensity per point light."""
+    return jnp.stack([
+        jnp.concatenate([light.position.astype(jnp.float32).reshape(3),
+                         light.intensity.astype(jnp.float32).reshape(3)])
+        for light in scene.lights])
+
+
+# ---------------------------------------------------------------------------
+# In-kernel building blocks (all [BR]-lane vector math, SMEM scalars).
+# ---------------------------------------------------------------------------
+
+def _affine_pt(p, base, v: V3) -> V3:
+    g = lambda k: p(base + k)
+    return V3(g(0) * v.x + g(1) * v.y + g(2) * v.z + g(3),
+              g(4) * v.x + g(5) * v.y + g(6) * v.z + g(7),
+              g(8) * v.x + g(9) * v.y + g(10) * v.z + g(11))
+
+
+def _affine_vec(p, base, v: V3) -> V3:
+    g = lambda k: p(base + k)
+    return V3(g(0) * v.x + g(1) * v.y + g(2) * v.z,
+              g(4) * v.x + g(5) * v.y + g(6) * v.z,
+              g(8) * v.x + g(9) * v.y + g(10) * v.z)
+
+
+def _nmat_vec(p, v: V3) -> V3:
+    g = lambda k: p(12 + k)
+    return V3(g(0) * v.x + g(1) * v.y + g(2) * v.z,
+              g(3) * v.x + g(4) * v.y + g(5) * v.z,
+              g(6) * v.x + g(7) * v.y + g(8) * v.z)
+
+
+def _prim_slots(kind, p, o: V3, d: V3):
+    """This prim's hit slots on the OBJECT-space ray (ops/soa.py forms,
+    traced verbatim so local_intersect quirks cannot drift)."""
+    from ..ops import soa
+    if kind == sd.SPHERE:
+        return soa._sphere_slots(o, d)
+    if kind == sd.PLANE:
+        return soa._plane_slots(o, d)
+    if kind == sd.CUBE:
+        return soa._cube_slots(o, d)
+    if kind == sd.CYLINDER:
+        return soa._cylinder_slots(o, d, p(21), p(22), p(23) != 0.0)
+    if kind == sd.CONE:
+        return soa._cone_slots(o, d, p(21), p(22), p(23) != 0.0)
+    raise AssertionError(kind)  # pragma: no cover — applicable() gates
+
+
+def _local_normal(kind, p, lp: V3) -> V3:
+    """Per-kind local normal (shade_soa.normal_at formulas)."""
+    x, y, z = lp.x, lp.y, lp.z
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    if kind == sd.SPHERE:
+        return lp
+    if kind == sd.PLANE:
+        return V3(zero, one, zero)
+    if kind == sd.CUBE:
+        ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+        maxc = jnp.maximum(ax, jnp.maximum(ay, az))
+        return V3(jnp.where(maxc == ax, x, zero),
+                  jnp.where((maxc != ax) & (maxc == ay), y, zero),
+                  jnp.where((maxc != ax) & (maxc != ay), z, zero))
+    cmin, cmax = p(21), p(22)
+    dist = x * x + z * z
+    top = (dist < 1.0) & (y >= cmax - EPSILON)
+    bot = (dist < 1.0) & (y <= cmin + EPSILON)
+    if kind == sd.CYLINDER:
+        side_y = zero
+    else:  # cone
+        ny = jnp.sqrt(jnp.maximum(dist, 0.0))
+        side_y = jnp.where(y > 0.0, -ny, ny)
+    return V3(jnp.where(top | bot, zero, x),
+              jnp.where(top, one, jnp.where(bot, -one, side_y)),
+              jnp.where(top | bot, zero, z))
+
+
+def _eval_pattern(descr, pat, pts: V3) -> V3:
+    """shade_soa.eval_pattern for the cheap types, SMEM coefficients."""
+    ptype, idx, da, db = descr
+    g = lambda k: pat[idx, k]
+    if ptype == "solid":
+        like = jnp.ones_like(pts.x)
+        return V3(g(12) * like, g(13) * like, g(14) * like)
+    p = V3(g(0) * pts.x + g(1) * pts.y + g(2) * pts.z + g(3),
+           g(4) * pts.x + g(5) * pts.y + g(6) * pts.z + g(7),
+           g(8) * pts.x + g(9) * pts.y + g(10) * pts.z + g(11))
+    a = _eval_pattern(da, pat, p)
+    b = _eval_pattern(db, pat, p)
+    if ptype == "gradient":
+        frac = p.x - jnp.floor(p.x)
+        return a + (b - a) * frac
+    if ptype == "blend":
+        s = g(15)
+        return a * (1.0 - s) + b * s
+    if ptype == "stripe":
+        cond = jnp.mod(jnp.floor(p.x), 2.0) == 0.0
+    elif ptype == "ring":
+        cond = jnp.mod(jnp.floor(jnp.sqrt(p.x * p.x + p.z * p.z)),
+                       2.0) == 0.0
+    else:  # checker
+        cond = jnp.mod(jnp.floor(p.x) + jnp.floor(p.y) + jnp.floor(p.z),
+                       2.0) == 0.0
+    return V3(jnp.where(cond, a.x, b.x), jnp.where(cond, a.y, b.y),
+              jnp.where(cond, a.z, b.z))
+
+
+def _node_row(kinds, pat_descrs, prim_pat, has_refl, has_refr,
+              prims, pat, lights, o: V3, d: V3):
+    """One Whitted node over a [BR] ray row — the in-register transcript
+    of integrator._sorted_node_eval for analytic non-CSG scenes.
+
+    Returns (surface, over, under, reflectv, refr_dir, refl_w, refr_w).
+    """
+    P = len(kinds)
+    reader = lambda i: (lambda k, i=i: prims[i, k])
+
+    # --- closest hit: same fold order as soa.closest_hit_soa (strict <
+    # keeps the earlier prim on ties). Object-space rays and slots are
+    # kept for the n1/n2 crossing folds below — the fusion the XLA path
+    # can't do without materializing [K, R] slot buffers.
+    slots_per_prim = []
+    best_t = jnp.full_like(o.x, _INF)
+    win = []  # one-hot winner masks per prim
+    for i, kind in enumerate(kinds):
+        p = reader(i)
+        ol = _affine_pt(p, 0, o)
+        dl = _affine_vec(p, 0, d)
+        slots = _prim_slots(kind, p, ol, dl)
+        slots_per_prim.append(slots)
+        tp = jnp.full_like(o.x, _INF)
+        for t, valid in slots:
+            tp = jnp.minimum(tp, jnp.where(valid & (t >= 0.0), t, _INF))
+        better = tp < best_t
+        best_t = jnp.where(better, tp, best_t)
+        win = [w & ~better for w in win] + [better]
+    found = jnp.isfinite(best_t)
+    t_safe = jnp.where(found, best_t, 0.0)
+    point = o + d * t_safe
+    eyev = -d
+
+    zeroR = jnp.zeros_like(o.x)
+
+    def sel3(v3_fn):
+        """Winner-select a per-prim V3 (one-hot masks, P small)."""
+        ax = ay = az = zeroR
+        for i in range(P):
+            v = v3_fn(i)
+            ax = jnp.where(win[i], v.x, ax)
+            ay = jnp.where(win[i], v.y, ay)
+            az = jnp.where(win[i], v.z, az)
+        return V3(ax, ay, az)
+
+    def mat(k):
+        acc = zeroR
+        for i in range(P):
+            acc = jnp.where(win[i], prims[i, k], acc)
+        return acc
+
+    # --- normal: winner's kind formula on ITS object-space point,
+    # through ITS normal matrix (shade_soa.normal_at), eye flip.
+    def world_normal(i):
+        p = reader(i)
+        lp_i = _affine_pt(p, 0, point)
+        return _nmat_vec(p, _local_normal(kinds[i], p, lp_i))
+
+    normalv = sel3(world_normal).normalize()
+    inside = normalv.dot(eyev) < 0.0
+    normalv = normalv * jnp.where(inside, -1.0, 1.0)
+    over = point + normalv * _EPS_OFF
+    under = point - normalv * _EPS_OFF
+
+    # --- n1/n2: crossing-parity folds over the SAME slots
+    # (soa.refractive_indices_direct semantics, slot reuse in-register).
+    if has_refr:
+        t_hit = jnp.where(found, best_t, -1.0)
+        tol = _TOL * jnp.maximum(1.0, jnp.abs(t_hit))
+        neg = jnp.full_like(o.x, -_INF)
+        bts, btl = neg, neg
+        n1 = jnp.ones_like(o.x)
+        n2 = jnp.ones_like(o.x)
+        ior_s = n1
+        ior_l = n2
+        for i in range(P):
+            cnt_s = jnp.zeros_like(o.x, jnp.int32)
+            last_s = neg
+            cnt_l = jnp.zeros_like(o.x, jnp.int32)
+            last_l = neg
+            for t, valid in slots_per_prim[i]:
+                is_hit = win[i] & (jnp.abs(t - t_hit) <= tol)
+                before = valid & (t < t_hit)
+                in_s = before & ~is_hit
+                in_l = before | (valid & is_hit)
+                cnt_s = cnt_s + in_s.astype(jnp.int32)
+                last_s = jnp.maximum(last_s, jnp.where(in_s, t, neg))
+                cnt_l = cnt_l + in_l.astype(jnp.int32)
+                last_l = jnp.maximum(last_l, jnp.where(in_l, t, neg))
+            ior_i = prims[i, 30]
+            bs = ((cnt_s % 2) == 1) & (last_s > bts)
+            bts = jnp.where(bs, last_s, bts)
+            ior_s = jnp.where(bs, ior_i, ior_s)
+            bl = ((cnt_l % 2) == 1) & (last_l > btl)
+            btl = jnp.where(bl, last_l, btl)
+            ior_l = jnp.where(bl, ior_i, ior_l)
+        n1 = jnp.where(jnp.isfinite(bts) & (bts > -_INF), ior_s, n1)
+        n2 = jnp.where(jnp.isfinite(btl) & (btl > -_INF), ior_l, n2)
+    else:
+        n1 = n2 = jnp.ones_like(o.x)
+
+    # --- pattern at over (winner's static tree on ITS object space).
+    base = sel3(lambda i: _eval_pattern(pat_descrs[prim_pat[i]], pat,
+                                        _affine_pt(reader(i), 0, over)))
+
+    # --- Phong per light with binary point shadows (light.rs:98-140).
+    surface = V3(jnp.zeros_like(o.x), jnp.zeros_like(o.x),
+                 jnp.zeros_like(o.x))
+    amb, dif, spe, shi = mat(24), mat(25), mat(26), mat(27)
+    for li in range(lights.shape[0]):
+        L = lambda j: lights[li, j]
+        to = V3(L(0) - over.x, L(1) - over.y, L(2) - over.z)
+        dist = to.norm()
+        direction = to * (1.0 / jnp.maximum(dist, 1e-30))
+        occ = jnp.zeros_like(o.x, bool)
+        for i, kind in enumerate(kinds):
+            occ = occ | _occludes(kind, lambda j, i=i: prims[i, j],
+                                  over.x, over.y, over.z,
+                                  direction.x, direction.y, direction.z,
+                                  dist)
+        unshadow = 1.0 - occ.astype(o.x.dtype)
+        effective = V3(base.x * L(3), base.y * L(4), base.z * L(5))
+        # Separate normalize (rsqrt) like _lighting_soa, not the shadow
+        # direction's 1/sqrt form — keeps the Phong values bit-closer
+        # to the XLA path.
+        lightv = to.normalize()
+        ambient = effective * amb
+        ldn = lightv.dot(normalv)
+        lit = ldn >= 0.0
+        dscale = jnp.where(lit, dif * ldn, 0.0)
+        reflectv_l = (-lightv).reflect(normalv)
+        rde = reflectv_l.dot(eyev)
+        spec_on = lit & (rde > 0.0)
+        factor = jnp.power(jnp.maximum(rde, 1e-30), shi)
+        sscale = jnp.where(spec_on, spe * factor, 0.0)
+        surface = V3(
+            surface.x + ambient.x + (effective.x * dscale
+                                     + L(3) * sscale) * unshadow,
+            surface.y + ambient.y + (effective.y * dscale
+                                     + L(4) * sscale) * unshadow,
+            surface.z + ambient.z + (effective.z * dscale
+                                     + L(5) * sscale) * unshadow)
+    surface = V3(jnp.where(found, surface.x, 0.0),
+                 jnp.where(found, surface.y, 0.0),
+                 jnp.where(found, surface.z, 0.0))
+
+    reflective = jnp.where(found, mat(28), 0.0)
+    transparency = jnp.where(found, mat(29), 0.0)
+    reflectv = d.reflect(normalv)
+
+    # Refraction + TIR + Schlick (scene.rs:310-336, computations.rs:39-54).
+    n_ratio = n1 / n2
+    cos_i = eyev.dot(normalv)
+    sin2_t = n_ratio * n_ratio * (1.0 - cos_i * cos_i)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-30))
+    direction = normalv * (n_ratio * cos_i - cos_t) - eyev * n_ratio
+    live = found & ~tir & (transparency > 0.0)
+    refr_dir = V3(jnp.where(live, direction.x, 0.0),
+                  jnp.where(live, direction.y, 0.0),
+                  jnp.where(live, direction.z, 1.0))
+    refl_w = reflective
+    refr_w = jnp.where(live, transparency, 0.0)
+    if has_refl and has_refr:
+        both = (reflective > 0.0) & (transparency > 0.0)
+        cos_eff = jnp.where(n1 > n2, cos_t, cos_i)
+        r0 = ((n1 - n2) / (n1 + n2)) ** 2
+        reflectance = r0 + (1.0 - r0) * (1.0 - cos_eff) ** 5
+        reflectance = jnp.where((n1 > n2) & (sin2_t > 1.0), 1.0,
+                                reflectance)
+        refl_w = jnp.where(both, reflective * reflectance, refl_w)
+        refr_w = jnp.where(both, refr_w * (1.0 - reflectance), refr_w)
+    return surface, over, under, reflectv, refr_dir, refl_w, refr_w
+
+
+def _kernel(kinds, pat_descrs, prim_pat, depth, W, has_refl, has_refr,
+            rox, roy, roz, rdx, rdy, rdz, prims, pat, lights,
+            outr, outg, outb, st, child, acc):
+    """Per-program level scan over a [SUB, BR] ray block.
+
+    Every per-ray value is a (SUB, BR) = (8, 512) tile — a full vreg
+    footprint; the first kernel shipped [1, BR] rows and wasted 7/8 of
+    every vector register (measured 98 Mrays/s vs this form).
+
+    st is [7*W*SUB, BR]: component c of path row r lives at sublane
+    rows [(c*W + r)*SUB, +SUB) — all reads/writes are 8-sublane-aligned
+    static slices. child doubles the row count; acc is [3*SUB, BR]."""
+    zero = jnp.zeros((SUB, BR), jnp.float32)
+    one = jnp.ones((SUB, BR), jnp.float32)
+    W2 = 2 * W
+
+    def st_rd(c, r):
+        return st[(c * W + r) * SUB:(c * W + r + 1) * SUB, :]
+
+    def st_wr(c, r, v):
+        st[(c * W + r) * SUB:(c * W + r + 1) * SUB, :] = v
+
+    def ch_rd(c, r):
+        return child[(c * W2 + r) * SUB:(c * W2 + r + 1) * SUB, :]
+
+    def ch_wr(c, r, v):
+        child[(c * W2 + r) * SUB:(c * W2 + r + 1) * SUB, :] = v
+
+    # init: row 0 = primaries (weight 1), rows 1..W-1 dead (+z dirs).
+    for c, v in ((0, rox[:, :]), (1, roy[:, :]), (2, roz[:, :]),
+                 (3, rdx[:, :]), (4, rdy[:, :]), (5, rdz[:, :]), (6, one)):
+        st_wr(c, 0, v)
+    for r in range(1, W):
+        for c in range(7):
+            st_wr(c, r, one if c == 5 else zero)
+    for c in range(3):
+        acc[c * SUB:(c + 1) * SUB, :] = zero
+
+    for level in range(depth + 1):
+        last = level == depth
+        alive = jnp.any(st[6 * W * SUB:7 * W * SUB, :] != 0.0)
+
+        @pl.when(alive)
+        def _level(last=last):
+            if not last:
+                # child rows default to dead (weight 0, +z direction).
+                for r in range(W2):
+                    for c in range(7):
+                        ch_wr(c, r, one if c == 5 else zero)
+            for r in range(W):
+                @pl.when(jnp.any(st_rd(6, r) != 0.0))
+                def _row(r=r, last=last):
+                    w = st_rd(6, r)
+                    o = V3(st_rd(0, r), st_rd(1, r), st_rd(2, r))
+                    d = V3(st_rd(3, r), st_rd(4, r), st_rd(5, r))
+                    surface, over, under, reflectv, refr_dir, refl_w, \
+                        refr_w = _node_row(kinds, pat_descrs, prim_pat,
+                                           has_refl, has_refr, prims, pat,
+                                           lights, o, d)
+                    for c, v in enumerate((surface.x, surface.y,
+                                           surface.z)):
+                        sl = slice(c * SUB, (c + 1) * SUB)
+                        acc[sl, :] = acc[sl, :] + v * w
+                    if not last:
+                        for c, v in ((0, over.x), (1, over.y), (2, over.z),
+                                     (3, reflectv.x), (4, reflectv.y),
+                                     (5, reflectv.z), (6, w * refl_w)):
+                            ch_wr(c, r, v)
+                        for c, v in ((0, under.x), (1, under.y),
+                                     (2, under.z), (3, refr_dir.x),
+                                     (4, refr_dir.y), (5, refr_dir.z),
+                                     (6, w * refr_w)):
+                            ch_wr(c, W + r, v)
+            if not last:
+                # Stable top-W by weight: odd-even transposition over the
+                # 2W child rows (strict < => stable, = lax.sort order).
+                rows = [[ch_rd(c, r) for c in range(7)]
+                        for r in range(W2)]
+                for rnd in range(W2):
+                    for i in range(rnd % 2, W2 - 1, 2):
+                        swap = rows[i][6] < rows[i + 1][6]
+                        for c in range(7):
+                            a, b = rows[i][c], rows[i + 1][c]
+                            rows[i][c] = jnp.where(swap, b, a)
+                            rows[i + 1][c] = jnp.where(swap, a, b)
+                for r in range(W):
+                    for c in range(7):
+                        st_wr(c, r, rows[r][c])
+
+    outr[:, :] = acc[0 * SUB:1 * SUB, :]
+    outg[:, :] = acc[1 * SUB:2 * SUB, :]
+    outb[:, :] = acc[2 * SUB:3 * SUB, :]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kinds", "pat_descrs", "prim_pat", "depth", "W", "has_refl",
+    "has_refr", "interpret"))
+def whitted_compact(ro_comps, rd_comps, prim_tbl, pat_tbl, light_tbl,
+                    kinds, pat_descrs, prim_pat, depth: int, W: int,
+                    has_refl: bool, has_refr: bool,
+                    interpret: bool = False):
+    """Fused compact Whitted wavefront -> (r, g, b) [R] f32.
+
+    ro/rd_comps: 3-tuples of [R] f32; prim_tbl [P,32], pat_tbl [N,16],
+    light_tbl [L,6] (see pack_*); statics mirror the scene structure.
+    """
+    R = ro_comps[0].shape[0]
+    blk = SUB * BR
+    padR = (-R) % blk
+    f32 = jnp.float32
+
+    def padr(c, fill=0.0):
+        c = c.astype(f32)
+        return jnp.pad(c, (0, padR), constant_values=fill) if padR else c
+
+    Rp = R + padR
+    nrows = Rp // BR
+    args = [padr(c).reshape(nrows, BR) for c in ro_comps]
+    args += [padr(c, fill=(1.0 if i == 2 else 0.0)).reshape(nrows, BR)
+             for i, c in enumerate(rd_comps)]
+    args += [prim_tbl.astype(f32), pat_tbl.astype(f32),
+             light_tbl.astype(f32)]
+
+    ray_spec = pl.BlockSpec((SUB, BR), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((SUB, BR), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kernel, kinds, pat_descrs, prim_pat, depth, W,
+                          has_refl, has_refr),
+        grid=(nrows // SUB,),
+        in_specs=[ray_spec] * 6 + [smem] * 3,
+        out_specs=(out_spec,) * 3,
+        out_shape=(jax.ShapeDtypeStruct((nrows, BR), f32),) * 3,
+        scratch_shapes=[
+            pltpu.VMEM((7 * W * SUB, BR), f32),
+            pltpu.VMEM((7 * 2 * W * SUB, BR), f32),
+            pltpu.VMEM((3 * SUB, BR), f32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return tuple(o.reshape(Rp)[:R] for o in outs)

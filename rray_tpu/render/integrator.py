@@ -855,21 +855,75 @@ def _soa_node_fn(scene: sd.SceneData):
     return _color_at_sorted_soa
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _whitted_kernel_call(scene, rays, remaining, settings):
+    """Fused Pallas compact wavefront (kernels/whitted.py).
+
+    Forward runs the whole level scan in one kernel (state in VMEM,
+    per-block dead-row skipping); the custom VJP's backward recomputes
+    through the XLA compact wavefront, so gradients ARE the XLA
+    gradients — the kernel needs no AD rule of its own. Point lights
+    only (applicable() gates), so no PRNG key is consumed."""
+    from ..kernels import whitted as kwhit
+
+    prim_tbl = kwhit.pack_prims(scene)
+    pat_tbl, descrs = kwhit.pack_patterns(scene)
+    light_tbl = kwhit.pack_lights(scene)
+    W = min(max(int(getattr(settings, "wavefront_capacity", 4)), 2),
+            2 ** remaining)
+    return kwhit.whitted_compact(
+        rays[:3], rays[3:], prim_tbl, pat_tbl, light_tbl,
+        kinds=tuple(scene.prim_kinds), pat_descrs=descrs,
+        prim_pat=tuple(scene.prim_pattern_static), depth=remaining, W=W,
+        has_refl=scene.has_reflective, has_refr=scene.has_transparent,
+        interpret=getattr(settings, "pallas", "off") == "interpret")
+
+
+def _whitted_kernel_fwd(scene, rays, remaining, settings):
+    return _whitted_kernel_call(scene, rays, remaining, settings), \
+        (scene, rays)
+
+
+def _whitted_kernel_bwd(remaining, settings, res, cts):
+    scene, rays = res
+
+    def xla_fn(scene, rays):
+        out = _color_at_compact_scan(scene, V3(*rays[:3]), V3(*rays[3:]),
+                                     remaining, settings,
+                                     jax.random.PRNGKey(0))
+        return (out.x, out.y, out.z)
+
+    _, vjp = jax.vjp(xla_fn, scene, rays)
+    return vjp(cts)
+
+
+_whitted_kernel_call.defvjp(_whitted_kernel_fwd, _whitted_kernel_bwd)
+
+
 def _color_at_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
                          settings: RenderSettings, key) -> V3:
     """Sorted-path dispatcher. Default "compact": capacity-bounded
     wavefront with per-level live-ray compaction when both reflection
     and refraction spawn (the level scan pays the full 2^d width every
-    level), else the width-1 chain scan. "scan" forces the exhaustive
-    level-synchronous wavefront; "unrolled" compiles one body per level
-    (exact tree work, CPU parity A/B only — the remote TPU compiler
-    chokes on it)."""
+    level), else the width-1 chain scan. On TPU, analytic point-light
+    scenes run the compact wavefront as ONE fused Pallas kernel
+    (kernels/whitted.py — state in VMEM, per-block dead-row skipping;
+    measured 72 -> see README on the glass BASELINE). "scan" forces the
+    exhaustive level-synchronous wavefront; "unrolled" compiles one
+    body per level (exact tree work, CPU parity A/B only — the remote
+    TPU compiler chokes on it)."""
     impl = getattr(settings, "wavefront", "compact")
     if impl == "unrolled":
         return _color_at_sorted_unrolled(scene, ro, rd, remaining, settings,
                                          key)
     if (impl == "compact" and remaining > 0
             and scene.has_reflective and scene.has_transparent):
+        from ..kernels import whitted as kwhit
+        if kwhit.applicable(scene, settings, ro.dtype):
+            outs = _whitted_kernel_call(
+                scene, (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z), remaining,
+                settings)
+            return V3(*outs)
         return _color_at_compact_scan(scene, ro, rd, remaining, settings, key)
     return _color_at_sorted_scan(scene, ro, rd, remaining, settings, key)
 

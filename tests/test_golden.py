@@ -129,3 +129,16 @@ class TestShowcaseParity:
         silhouette anti-aliasing plus Perlin-boundary pixels."""
         _compare(os.path.join(ROOT, "example1.yaml"),
                  os.path.join(ROOT, "example1.png"), 5.0, 0.025)
+
+    @pytest.mark.slow
+    def test_example1_full_aa3(self):
+        """Apples-to-apples flagship pin: 800x400 at the reference's own
+        aa=3 (camera at 2400x1200, box downsample —
+        scene_builder_yaml.rs:392, canvas.rs:76-105), f64. example1 has
+        only a point light, so this is EXACT mode like the 13 object/
+        pattern goldens. Measured (~47 min CPU): mean 0.012, frac>2
+        0.00101, max 57 — the residual is Perlin-boundary and silhouette
+        pixels at 8-bit quantization boundaries. Gate a hair above."""
+        _compare(os.path.join(ROOT, "example1.yaml"),
+                 os.path.join(ROOT, "example1.png"), 0.05, 0.002,
+                 aa=3, dtype=jnp.float64, frac_gt=2)

@@ -131,10 +131,15 @@ def main():
         b = np.asarray(render(scene, cam, settings=RenderSettings(
             rows_per_tile=150, pallas="off")))
         da = np.abs(a - b)
+        # pallas=on now routes this scene through the fused WHITTED
+        # kernel (round 4), which recomputes the identical point-keyed
+        # jitter draws in-register; the only numeric difference left is
+        # the kernel's multiply-by-1/n shadow fraction vs XLA's divide
+        # (<= 1 ulp).
         print(json.dumps({"metric": "area_kernel_parity_maxdiff",
                           "value": float(da.max()),
-                          "unit": "linear color (expected 0: same draws "
-                                  "and predicates)",
+                          "unit": "linear color (expected ~0: identical "
+                                  "draws and predicates)",
                           "vs_baseline": float(da.max()) / 1e-3}),
               flush=True)
     print(json.dumps(out), flush=True)

@@ -135,7 +135,7 @@ def render_scene_progressive(path: str, width: int, height: int,
 def render_resilient(path: str, width: int, height: int, png_file: str,
                      aa: int = 1, seed: int = 0, band_rows: int = 64,
                      checkpoint_path: str = None, attempts: int = 4,
-                     wait_s: float = 0.0) -> int:
+                     wait_s: float = 0.0, platform: str = None) -> int:
     """Elastic full-frame render: checkpointed subprocesses + restart.
 
     The failure domain on a tunneled TPU is the whole backend — a
@@ -157,6 +157,12 @@ def render_resilient(path: str, width: int, height: int, png_file: str,
            "-W", str(width), "-H", str(height), "-o", png_file,
            "-a", str(aa), "--seed", str(seed),
            "--checkpoint", checkpoint_path, "--band-rows", str(band_rows)]
+    if platform:
+        # Pin the children's backend (tests use "cpu" so the elastic
+        # machinery is exercised without waiting on a remote TPU worker
+        # that may be mid-recovery — its outages are exactly what this
+        # path exists to survive in production).
+        cmd += ["--platform", platform]
     last_done = -1
     rc = 1
     for attempt in range(attempts):

@@ -66,7 +66,12 @@ def _tree_cheap(node) -> bool:
 
 
 def applicable(scene, settings, dtype) -> bool:
-    """Can this scene's compact wavefront run as the fused kernel?"""
+    """Can this scene's Whitted evaluation run as the fused kernel?
+
+    Covers the fast path (no CSG/transparency — width-1 reflection
+    chain), the transparency chain, and the compact wavefront; point
+    AND area lights (area jitter is the point-keyed hash of
+    ops/jitter.py, recomputed in-register)."""
     from ..ops import soa
 
     if not soa._use_pallas(settings, dtype):
@@ -77,7 +82,7 @@ def applicable(scene, settings, dtype) -> bool:
         return False
     if len(scene.prim_kinds) == 0 or len(scene.prim_kinds) > 16:
         return False
-    if not all(light.kind == "point" for light in scene.lights):
+    if not all(light.kind in ("point", "area") for light in scene.lights):
         return False
     return all(_tree_cheap(p) for p in scene.patterns)
 
@@ -146,11 +151,26 @@ def pack_patterns(scene):
 
 
 def pack_lights(scene):
-    """[L, 6] f32: position, intensity per point light."""
-    return jnp.stack([
-        jnp.concatenate([light.position.astype(jnp.float32).reshape(3),
-                         light.intensity.astype(jnp.float32).reshape(3)])
-        for light in scene.lights])
+    """[L, 15] f32: position(3), intensity(3), corner(3), uvec(3),
+    vvec(3); the area extras are zeros for point lights."""
+    z3 = jnp.zeros((3,), jnp.float32)
+    rows = []
+    for light in scene.lights:
+        area = light.kind == "area"
+        rows.append(jnp.concatenate([
+            light.position.astype(jnp.float32).reshape(3),
+            light.intensity.astype(jnp.float32).reshape(3),
+            light.corner.astype(jnp.float32).reshape(3) if area else z3,
+            light.uvec.astype(jnp.float32).reshape(3) if area else z3,
+            light.vvec.astype(jnp.float32).reshape(3) if area else z3,
+        ]))
+    return jnp.stack(rows)
+
+
+def light_meta(scene):
+    """Static per-light (kind, level) tuple."""
+    return tuple((light.kind, int(light.level) if light.kind == "area"
+                  else 0) for light in scene.lights)
 
 
 # ---------------------------------------------------------------------------
@@ -254,13 +274,19 @@ def _eval_pattern(descr, pat, pts: V3) -> V3:
               jnp.where(cond, a.z, b.z))
 
 
-def _node_row(kinds, pat_descrs, prim_pat, has_refl, has_refr,
-              prims, pat, lights, o: V3, d: V3):
-    """One Whitted node over a [BR] ray row — the in-register transcript
-    of integrator._sorted_node_eval for analytic non-CSG scenes.
+def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
+              has_refr, prims, pat, lights, seeds, o: V3, d: V3):
+    """One Whitted node over a ray row — the in-register transcript of
+    integrator._sorted_node_eval / _fast_node_eval for analytic non-CSG
+    scenes. `lmeta` is the static per-light (kind, level) tuple; area
+    shadow fractions run the full level^2 jittered-sample loop with the
+    point-keyed hash draws of ops/jitter.py (bit-identical to the XLA
+    loop's) seeded from seeds[level, light] (SMEM — the XLA fold_in
+    chain evaluated host-side).
 
     Returns (surface, over, under, reflectv, refr_dir, refl_w, refr_w).
     """
+    from ..ops import jitter as jt
     P = len(kinds)
     reader = lambda i: (lambda k, i=i: prims[i, k])
 
@@ -364,23 +390,48 @@ def _node_row(kinds, pat_descrs, prim_pat, has_refl, has_refr,
     surface = V3(jnp.zeros_like(o.x), jnp.zeros_like(o.x),
                  jnp.zeros_like(o.x))
     amb, dif, spe, shi = mat(24), mat(25), mat(26), mat(27)
-    for li in range(lights.shape[0]):
-        L = lambda j: lights[li, j]
-        to = V3(L(0) - over.x, L(1) - over.y, L(2) - over.z)
-        dist = to.norm()
-        direction = to * (1.0 / jnp.maximum(dist, 1e-30))
+
+    def occludes_seg(sx, sy, sz, dist):
         occ = jnp.zeros_like(o.x, bool)
         for i, kind in enumerate(kinds):
             occ = occ | _occludes(kind, lambda j, i=i: prims[i, j],
-                                  over.x, over.y, over.z,
-                                  direction.x, direction.y, direction.z,
+                                  over.x, over.y, over.z, sx, sy, sz,
                                   dist)
-        unshadow = 1.0 - occ.astype(o.x.dtype)
+        return occ
+
+    for li, (lkind, llevel) in enumerate(lmeta):
+        L = lambda j: lights[li, j]
+        if lkind == "point":
+            to = V3(L(0) - over.x, L(1) - over.y, L(2) - over.z)
+            dist = to.norm()
+            direction = to * (1.0 / jnp.maximum(dist, 1e-30))
+            frac = occludes_seg(direction.x, direction.y, direction.z,
+                                dist).astype(o.x.dtype)
+        else:
+            # level^2 jittered grid samples (light.rs:47-65 semantics,
+            # scene.rs:181-214 fraction), draws recomputed in-register.
+            n = llevel * llevel
+            hb = jt.point_base(seeds[level, li], over.x, over.y, over.z)
+            cnt = jnp.zeros_like(o.x)
+            for s in range(n):
+                r0 = jt.draw_unit(hb, 2 * s)
+                r1 = jt.draw_unit(hb, 2 * s + 1)
+                ur = (float(s % llevel) + r0) / llevel
+                vr = (float(s // llevel) + r1) / llevel
+                sx = L(6) + L(9) * ur + L(12) * vr - over.x
+                sy = L(7) + L(10) * ur + L(13) * vr - over.y
+                sz = L(8) + L(11) * ur + L(14) * vr - over.z
+                dist = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+                inv = 1.0 / jnp.maximum(dist, 1e-30)
+                occ = occludes_seg(sx * inv, sy * inv, sz * inv, dist)
+                cnt = cnt + occ.astype(o.x.dtype)
+            frac = cnt * jnp.float32(1.0 / n)
+        unshadow = 1.0 - frac
         effective = V3(base.x * L(3), base.y * L(4), base.z * L(5))
-        # Separate normalize (rsqrt) like _lighting_soa, not the shadow
-        # direction's 1/sqrt form — keeps the Phong values bit-closer
-        # to the XLA path.
-        lightv = to.normalize()
+        # Phong shades from the light POSITION (area: center,
+        # light.rs:41-45) with a separate normalize (rsqrt) like
+        # _lighting_soa — not the shadow segment's 1/sqrt form.
+        lightv = V3(L(0) - over.x, L(1) - over.y, L(2) - over.z).normalize()
         ambient = effective * amb
         ldn = lightv.dot(normalv)
         lit = ldn >= 0.0
@@ -430,21 +481,27 @@ def _node_row(kinds, pat_descrs, prim_pat, has_refl, has_refr,
     return surface, over, under, reflectv, refr_dir, refl_w, refr_w
 
 
-def _kernel(kinds, pat_descrs, prim_pat, depth, W, has_refl, has_refr,
-            rox, roy, roz, rdx, rdy, rdz, prims, pat, lights,
-            outr, outg, outb, st, child, acc):
+def _kernel(kinds, pat_descrs, prim_pat, lmeta, depth, W, has_refl,
+            has_refr, rox, roy, roz, rdx, rdy, rdz, prims, pat, lights,
+            seeds, outr, outg, outb, st, child, acc):
     """Per-program level scan over a [SUB, BR] ray block.
 
     Every per-ray value is a (SUB, BR) = (8, 512) tile — a full vreg
     footprint; the first kernel shipped [1, BR] rows and wasted 7/8 of
     every vector register (measured 98 Mrays/s vs this form).
 
+    Spawn modes: both reflection and refraction -> 2W children +
+    compaction sort; exactly one -> a width-1 chain (W == 1, children
+    overwrite the state); neither -> one level (depth == 0).
+
     st is [7*W*SUB, BR]: component c of path row r lives at sublane
     rows [(c*W + r)*SUB, +SUB) — all reads/writes are 8-sublane-aligned
-    static slices. child doubles the row count; acc is [3*SUB, BR]."""
+    static slices. child holds spawn*W rows; acc is [3*SUB, BR]."""
     zero = jnp.zeros((SUB, BR), jnp.float32)
     one = jnp.ones((SUB, BR), jnp.float32)
-    W2 = 2 * W
+    both = has_refl and has_refr
+    spawn = 2 if both else (1 if (has_refl or has_refr) else 0)
+    W2 = max(spawn, 1) * W
 
     def st_rd(c, r):
         return st[(c * W + r) * SUB:(c * W + r + 1) * SUB, :]
@@ -473,37 +530,43 @@ def _kernel(kinds, pat_descrs, prim_pat, depth, W, has_refl, has_refr,
         alive = jnp.any(st[6 * W * SUB:7 * W * SUB, :] != 0.0)
 
         @pl.when(alive)
-        def _level(last=last):
-            if not last:
+        def _level(last=last, level=level):
+            spawn_here = spawn if not last else 0
+            if spawn_here:
                 # child rows default to dead (weight 0, +z direction).
                 for r in range(W2):
                     for c in range(7):
                         ch_wr(c, r, one if c == 5 else zero)
             for r in range(W):
                 @pl.when(jnp.any(st_rd(6, r) != 0.0))
-                def _row(r=r, last=last):
+                def _row(r=r, level=level, spawn_here=spawn_here):
                     w = st_rd(6, r)
                     o = V3(st_rd(0, r), st_rd(1, r), st_rd(2, r))
                     d = V3(st_rd(3, r), st_rd(4, r), st_rd(5, r))
                     surface, over, under, reflectv, refr_dir, refl_w, \
                         refr_w = _node_row(kinds, pat_descrs, prim_pat,
-                                           has_refl, has_refr, prims, pat,
-                                           lights, o, d)
+                                           lmeta, level, has_refl,
+                                           has_refr, prims, pat, lights,
+                                           seeds, o, d)
                     for c, v in enumerate((surface.x, surface.y,
                                            surface.z)):
                         sl = slice(c * SUB, (c + 1) * SUB)
                         acc[sl, :] = acc[sl, :] + v * w
-                    if not last:
-                        for c, v in ((0, over.x), (1, over.y), (2, over.z),
-                                     (3, reflectv.x), (4, reflectv.y),
-                                     (5, reflectv.z), (6, w * refl_w)):
+                    if spawn_here:
+                        first = (over, reflectv, w * refl_w) if has_refl \
+                            else (under, refr_dir, w * refr_w)
+                        pt, dr, cw = first
+                        for c, v in ((0, pt.x), (1, pt.y), (2, pt.z),
+                                     (3, dr.x), (4, dr.y), (5, dr.z),
+                                     (6, cw)):
                             ch_wr(c, r, v)
-                        for c, v in ((0, under.x), (1, under.y),
-                                     (2, under.z), (3, refr_dir.x),
-                                     (4, refr_dir.y), (5, refr_dir.z),
-                                     (6, w * refr_w)):
-                            ch_wr(c, W + r, v)
-            if not last:
+                        if spawn_here == 2:
+                            for c, v in ((0, under.x), (1, under.y),
+                                         (2, under.z), (3, refr_dir.x),
+                                         (4, refr_dir.y), (5, refr_dir.z),
+                                         (6, w * refr_w)):
+                                ch_wr(c, W + r, v)
+            if spawn_here == 2:
                 # Stable top-W by weight: odd-even transposition over the
                 # 2W child rows (strict < => stable, = lax.sort order).
                 rows = [[ch_rd(c, r) for c in range(7)]
@@ -518,6 +581,10 @@ def _kernel(kinds, pat_descrs, prim_pat, depth, W, has_refl, has_refr,
                 for r in range(W):
                     for c in range(7):
                         st_wr(c, r, rows[r][c])
+            elif spawn_here == 1:
+                # Width-1 chain: the single child row becomes the state.
+                for c in range(7):
+                    st_wr(c, 0, ch_rd(c, 0))
 
     outr[:, :] = acc[0 * SUB:1 * SUB, :]
     outg[:, :] = acc[1 * SUB:2 * SUB, :]
@@ -525,16 +592,18 @@ def _kernel(kinds, pat_descrs, prim_pat, depth, W, has_refl, has_refr,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "kinds", "pat_descrs", "prim_pat", "depth", "W", "has_refl",
+    "kinds", "pat_descrs", "prim_pat", "lmeta", "depth", "W", "has_refl",
     "has_refr", "interpret"))
 def whitted_compact(ro_comps, rd_comps, prim_tbl, pat_tbl, light_tbl,
-                    kinds, pat_descrs, prim_pat, depth: int, W: int,
-                    has_refl: bool, has_refr: bool,
+                    seeds, kinds, pat_descrs, prim_pat, lmeta,
+                    depth: int, W: int, has_refl: bool, has_refr: bool,
                     interpret: bool = False):
-    """Fused compact Whitted wavefront -> (r, g, b) [R] f32.
+    """Fused Whitted evaluation -> (r, g, b) [R] f32.
 
     ro/rd_comps: 3-tuples of [R] f32; prim_tbl [P,32], pat_tbl [N,16],
-    light_tbl [L,6] (see pack_*); statics mirror the scene structure.
+    light_tbl [L,15] (see pack_*); seeds [depth+1, L] int32 per-level
+    per-light jitter seeds (the XLA fold_in chain evaluated host-side);
+    statics mirror the scene structure (lmeta from light_meta()).
     """
     R = ro_comps[0].shape[0]
     blk = SUB * BR
@@ -551,23 +620,26 @@ def whitted_compact(ro_comps, rd_comps, prim_tbl, pat_tbl, light_tbl,
     args += [padr(c, fill=(1.0 if i == 2 else 0.0)).reshape(nrows, BR)
              for i, c in enumerate(rd_comps)]
     args += [prim_tbl.astype(f32), pat_tbl.astype(f32),
-             light_tbl.astype(f32)]
+             light_tbl.astype(f32), seeds.astype(jnp.int32)]
 
+    both = has_refl and has_refr
+    assert both or W == 1, "width-1 chain unless both spawn"
+    spawn = 2 if both else (1 if (has_refl or has_refr) else 0)
     ray_spec = pl.BlockSpec((SUB, BR), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((SUB, BR), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_kernel, kinds, pat_descrs, prim_pat, depth, W,
-                          has_refl, has_refr),
+        functools.partial(_kernel, kinds, pat_descrs, prim_pat, lmeta,
+                          depth, W, has_refl, has_refr),
         grid=(nrows // SUB,),
-        in_specs=[ray_spec] * 6 + [smem] * 3,
+        in_specs=[ray_spec] * 6 + [smem] * 4,
         out_specs=(out_spec,) * 3,
         out_shape=(jax.ShapeDtypeStruct((nrows, BR), f32),) * 3,
         scratch_shapes=[
             pltpu.VMEM((7 * W * SUB, BR), f32),
-            pltpu.VMEM((7 * 2 * W * SUB, BR), f32),
+            pltpu.VMEM((7 * max(spawn, 1) * W * SUB, BR), f32),
             pltpu.VMEM((3 * SUB, BR), f32),
         ],
         interpret=interpret,

@@ -85,10 +85,12 @@ def render_sharded(scene: sd.SceneData, cam: CameraData, mesh: Mesh,
     @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis), P(axis), P()),
              out_specs=P(axis))
     def shard_render(scene_, ro_, rd_, key_):
-        # Each device folds its mesh position into the sampling key so
-        # area-light jitter stays decorrelated across shards. Local
-        # tiles share the key like the single-device tile loop does.
-        k = jax.random.fold_in(key_, jax.lax.axis_index(axis))
+        # Every shard uses the SAME key: area-light jitter is keyed by
+        # the shadow origin's bits (ops/jitter.py), so decorrelation
+        # across shards is automatic and sharded == single-device holds
+        # exactly for area scenes too (rounds 1-3 folded the device
+        # index here, which made area frames tiling-dependent).
+        k = key_
 
         def tile_fn(args):
             o, d = args

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..config import RenderSettings, offset_eps
 from ..ops import hits as hits_mod
+from ..ops import jitter as jitter_mod
 from ..ops import normals as nrm
 from ..ops import soa
 from ..ops.vec import V3
@@ -69,14 +70,19 @@ def _shadow_fraction_soa(scene, light, over: V3, settings, key):
     level = light.level
     n = level * level
     R = over.x.shape[0]
-    # rbg PRNG for the jitter draws: threefry costs ~20 int-ops per word
-    # (measured 1.5 ms per 9M-draw tile vs 0.14 ms for rbg on v5e). The
-    # sampler is already a documented deviation from the reference's
-    # thread_rng (seeded + deterministic either way); both shadow paths
-    # consume this same array, so their A/B stays exact.
-    rbg = jax.random.wrap_key_data(jnp.tile(jax.random.key_data(key), 2),
-                                   impl="rbg")
-    rand = jax.random.uniform(rbg, (2, n, R), dtype=dtype)
+    # Point-keyed hash jitter (ops/jitter.py): a draw is a pure function
+    # of (key-derived seed, shadow-origin f32 bits), so it is invariant
+    # to tiling/swizzling/sharding (sharded == single is now EXACT for
+    # area scenes) and the fused kernels can recompute the identical
+    # draws in-register instead of streaming a [2n, R] array through
+    # HBM. Replaces the rbg draws of rounds 1-3 — the sampler is a
+    # documented deviation from the reference's thread_rng either way
+    # (seeded + deterministic here). Both XLA and kernel shadow paths
+    # consume bit-identical draws (integer hashing is exact).
+    sg = jax.lax.stop_gradient
+    seed = jitter_mod.seed_from_key(key)
+    rand = jitter_mod.point_jitter(seed, sg(over.x), sg(over.y),
+                                   sg(over.z), n, dtype=dtype)
 
     from ..kernels import analytic as kanl
     if (soa._use_pallas(settings, dtype) and not scene.csg_ops
@@ -212,6 +218,25 @@ def _fast_node_eval(scene: sd.SceneData, ro: V3, rd: V3,
 
 def _color_at_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
                   settings: RenderSettings, key) -> V3:
+    """Fast path (no CSG/transparency): kernel or XLA dispatcher.
+
+    The fused Whitted kernel takes this path only when the scene has an
+    area light — that is where fusing the node around the sample loop
+    pays; pure point-light fast scenes already run at ~roofline in XLA
+    (config1: 10 G rays/s) and a kernel's I/O materialization would
+    only slow them down."""
+    from ..kernels import whitted as kwhit
+    if (kwhit.applicable(scene, settings, ro.dtype)
+            and any(light.kind == "area" for light in scene.lights)):
+        outs = _whitted_kernel_call(
+            scene, (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z), key, remaining,
+            settings)
+        return V3(*outs)
+    return _color_at_soa_xla(scene, ro, rd, remaining, settings, key)
+
+
+def _color_at_soa_xla(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
+                      settings: RenderSettings, key) -> V3:
     """Fast path (no CSG/transparency): surface + reflection chain.
 
     The chain runs under lax.scan (weights carry the reflective product),
@@ -756,7 +781,13 @@ def _shadow_fraction(scene, light, over, settings, key):
         return shadowed.astype(dtype)
     level = light.level
     n = level * level
-    rand = jax.random.uniform(key, (n, R, 2), dtype=dtype)
+    # Same point-keyed draws as the SoA path (ops/jitter.py) so the
+    # AoS/SoA A/B stays exact on area scenes.
+    sg = jax.lax.stop_gradient
+    seed = jitter_mod.seed_from_key(key)
+    rand = jnp.moveaxis(
+        jitter_mod.point_jitter(seed, sg(over[:, 0]), sg(over[:, 1]),
+                                sg(over[:, 2]), n, dtype=dtype), 0, -1)
     cols = (jnp.arange(n) % level).astype(dtype)
     rows = (jnp.arange(n) // level).astype(dtype)
     ur = (cols[:, None] + rand[:, :, 0]) / level
@@ -855,46 +886,78 @@ def _soa_node_fn(scene: sd.SceneData):
     return _color_at_sorted_soa
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _whitted_kernel_call(scene, rays, remaining, settings):
-    """Fused Pallas compact wavefront (kernels/whitted.py).
+def _xla_reference_node(scene, ro, rd, remaining, settings, key):
+    """The pure-XLA Whitted evaluation for this scene (kernel-free).
+
+    The fused kernel's custom-VJP backward recomputes through this, so
+    kernel gradients ARE the XLA gradients."""
+    if needs_sorted_path(scene):
+        if (getattr(settings, "wavefront", "compact") == "compact"
+                and remaining > 0 and scene.has_reflective
+                and scene.has_transparent):
+            return _color_at_compact_scan(scene, ro, rd, remaining,
+                                          settings, key)
+        return _color_at_sorted_scan(scene, ro, rd, remaining, settings,
+                                     key)
+    return _color_at_soa_xla(scene, ro, rd, remaining, settings, key)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _whitted_kernel_call(scene, rays, key, remaining, settings):
+    """Fused Pallas Whitted evaluation (kernels/whitted.py).
 
     Forward runs the whole level scan in one kernel (state in VMEM,
     per-block dead-row skipping); the custom VJP's backward recomputes
-    through the XLA compact wavefront, so gradients ARE the XLA
-    gradients — the kernel needs no AD rule of its own. Point lights
-    only (applicable() gates), so no PRNG key is consumed."""
+    through the XLA node (`_xla_reference_node`) with the SAME key, so
+    gradients ARE the XLA gradients — the kernel needs no AD rule of
+    its own. `key` feeds only the per-(level, light) jitter-seed table
+    (the XLA fold_in chain evaluated here, so the kernel's area-light
+    draws are bit-identical to the XLA loop's)."""
     from ..kernels import whitted as kwhit
 
     prim_tbl = kwhit.pack_prims(scene)
     pat_tbl, descrs = kwhit.pack_patterns(scene)
     light_tbl = kwhit.pack_lights(scene)
+    both = scene.has_reflective and scene.has_transparent
+    depth = remaining if (scene.has_reflective or scene.has_transparent) \
+        else 0
     W = min(max(int(getattr(settings, "wavefront_capacity", 4)), 2),
-            2 ** remaining)
+            2 ** remaining) if (both and remaining > 0) else 1
+    L = len(scene.lights)
+    seeds = jnp.stack([
+        jnp.stack([jitter_mod.seed_from_key(
+            jax.random.fold_in(jax.random.fold_in(key, lvl), 1000 + li))
+            for li in range(L)])
+        for lvl in range(depth + 1)])
     return kwhit.whitted_compact(
-        rays[:3], rays[3:], prim_tbl, pat_tbl, light_tbl,
+        rays[:3], rays[3:], prim_tbl, pat_tbl, light_tbl, seeds,
         kinds=tuple(scene.prim_kinds), pat_descrs=descrs,
-        prim_pat=tuple(scene.prim_pattern_static), depth=remaining, W=W,
+        prim_pat=tuple(scene.prim_pattern_static),
+        lmeta=kwhit.light_meta(scene), depth=depth, W=W,
         has_refl=scene.has_reflective, has_refr=scene.has_transparent,
         interpret=getattr(settings, "pallas", "off") == "interpret")
 
 
-def _whitted_kernel_fwd(scene, rays, remaining, settings):
-    return _whitted_kernel_call(scene, rays, remaining, settings), \
-        (scene, rays)
+def _whitted_kernel_fwd(scene, rays, key, remaining, settings):
+    return _whitted_kernel_call(scene, rays, key, remaining, settings), \
+        (scene, rays, key)
 
 
 def _whitted_kernel_bwd(remaining, settings, res, cts):
-    scene, rays = res
+    import numpy as np
+
+    scene, rays, key = res
 
     def xla_fn(scene, rays):
-        out = _color_at_compact_scan(scene, V3(*rays[:3]), V3(*rays[3:]),
-                                     remaining, settings,
-                                     jax.random.PRNGKey(0))
+        out = _xla_reference_node(scene, V3(*rays[:3]), V3(*rays[3:]),
+                                  remaining, settings, key)
         return (out.x, out.y, out.z)
 
     _, vjp = jax.vjp(xla_fn, scene, rays)
-    return vjp(cts)
+    d_scene, d_rays = vjp(cts)
+    d_key = jax.tree_util.tree_map(
+        lambda x: np.zeros(jnp.shape(x), jax.dtypes.float0), key)
+    return d_scene, d_rays, d_key
 
 
 _whitted_kernel_call.defvjp(_whitted_kernel_fwd, _whitted_kernel_bwd)
@@ -916,15 +979,17 @@ def _color_at_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
     if impl == "unrolled":
         return _color_at_sorted_unrolled(scene, ro, rd, remaining, settings,
                                          key)
-    if (impl == "compact" and remaining > 0
-            and scene.has_reflective and scene.has_transparent):
+    if impl == "compact":
         from ..kernels import whitted as kwhit
         if kwhit.applicable(scene, settings, ro.dtype):
             outs = _whitted_kernel_call(
-                scene, (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z), remaining,
-                settings)
+                scene, (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z), key,
+                remaining, settings)
             return V3(*outs)
-        return _color_at_compact_scan(scene, ro, rd, remaining, settings, key)
+        if (remaining > 0 and scene.has_reflective
+                and scene.has_transparent):
+            return _color_at_compact_scan(scene, ro, rd, remaining,
+                                          settings, key)
     return _color_at_sorted_scan(scene, ro, rd, remaining, settings, key)
 
 
@@ -1043,13 +1108,14 @@ def render(scene: sd.SceneData, cam: CameraData,
     key = jax.random.PRNGKey(seed)
     # Swizzled (16x32 pixel-block) tile order serves two locality needs:
     # the triangle kernels cull whole 512-ray blocks against AABBs, and
-    # the bounce loops' dead-level lax.cond skips a level only when a
-    # WHOLE tile's paths died — scanline tiles are full-width bands that
-    # almost always cross some reflective/transparent object, while
-    # block-compact tiles localize the live region. Pure relayout on
-    # both ends: per-pixel values are identical EXCEPT area-light jitter,
-    # which is drawn per tile-slot, so swizzling permutes which jitter a
-    # pixel gets (equally valid samples; sampler-tolerance goldens).
+    # the bounce loops' dead-level/dead-row skipping (lax.cond per tile,
+    # pl.when per kernel block) only fires when a whole region's paths
+    # died — scanline tiles are full-width bands that almost always
+    # cross some reflective/transparent object, while block-compact
+    # tiles localize the live region. Pure relayout on both ends:
+    # per-pixel values are identical, INCLUDING area-light jitter,
+    # which is keyed by the shadow origin's bits (ops/jitter.py), not
+    # the tile layout.
     swizzle = (bool(scene.counts[6]) and soa._use_pallas(settings,
                                                          cam.inv.dtype)) \
         or scene.has_reflective or scene.has_transparent

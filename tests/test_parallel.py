@@ -151,6 +151,18 @@ class TestShardedHardPaths:
         assert np.isfinite(sharded).all()
         np.testing.assert_allclose(sharded, single, atol=1e-12)
 
+    def test_real_area_light_matches_single(self):
+        """A REAL-extent area light under shard_map: jitter is keyed by
+        the shadow origin's bits (ops/jitter.py), not the tile/shard
+        layout, so even soft penumbras match the single-device render
+        exactly (rounds 1-3 could only compare degenerate lights)."""
+        scene, cam = hard_setup(area_extent=1.5)
+        mesh = pmesh.make_mesh(jax.devices()[:8])
+        single = np.asarray(render(scene, cam, settings=HARD_SET))
+        sharded = np.asarray(pmesh.render_sharded_jit(scene, cam, mesh,
+                                                      settings=HARD_SET))
+        np.testing.assert_allclose(sharded, single, atol=1e-12)
+
     def test_mesh_inside_csg_matches_single(self):
         """Tetrahedron as a CSG operand: forces the full ordered slot
         list (sorted_slots_full_soa) under shard_map."""

@@ -91,7 +91,8 @@ scene:
     os.environ["RRAY_FAIL_AFTER_BANDS"] = "2"
     try:
         rc = render_resilient(str(scene_yaml), 32, 24, png, band_rows=8,
-                              checkpoint_path=ckpt, attempts=4)
+                              checkpoint_path=ckpt, attempts=4,
+                              platform="cpu")
     finally:
         del os.environ["RRAY_FAIL_AFTER_BANDS"]
     assert rc == 0

@@ -119,10 +119,24 @@ class TestWhittedKernel:
         b = _render(GLASS, "compact", pallas="interpret")
         np.testing.assert_allclose(a, b, atol=2e-6)
 
+    def test_area_scene_matches_xla(self):
+        """area_light.yaml through the fused kernel (fast path, depth
+        0, 25-sample soft shadows): the jitter draws are recomputed
+        in-register from the same point-keyed hash (ops/jitter.py), so
+        the A/B is exact up to the kernel's multiply-by-1/n fraction
+        (measured 0.0 at this size)."""
+        area = os.path.join(BASE, "examples", "area_light.yaml")
+        a = _render(area, "compact")
+        b = _render(area, "compact", pallas="interpret")
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
     def test_capacity_plumb(self):
-        """wavefront_capacity reaches the kernel's W; cap=16 vs the
+        """wavefront_capacity reaches the kernel's W; cap=8 vs the
         exhaustive scan must agree like the XLA full-capacity test
-        (depth 4 -> 2^4 = 16 keeps every path)."""
+        (depth 3 -> 2^3 = 8 keeps every path). Depth 3 rather than the
+        XLA test's 5: the W=8 interpret-mode kernel is already a huge
+        unrolled graph (odd-even sort over 16 child rows per level),
+        and cap > 2^depth exercises no additional plumbing."""
         from rray_tpu import RenderSettings
         from rray_tpu.io.yaml_loader import load_scene_file
         from rray_tpu import Camera, compile_camera, compile_scene
@@ -130,15 +144,15 @@ class TestWhittedKernel:
 
         cam_spec, lights, shapes = load_scene_file(GLASS)
         scene = compile_scene(shapes, lights, dtype=jnp.float32)
-        cam_h = Camera(64, 48, cam_spec["fov"])
+        cam_h = Camera(48, 36, cam_spec["fov"])
         cam_h.transform = cam_spec["transform"]
         cam = compile_camera(cam_h, jnp.float32)
         a = np.asarray(render(scene, cam, settings=RenderSettings(
-            rows_per_tile=48, max_hits=16, containers_depth=4, depth=4,
+            rows_per_tile=36, max_hits=16, containers_depth=4, depth=3,
             wavefront="scan")))
         b = np.asarray(render(scene, cam, settings=RenderSettings(
-            rows_per_tile=48, max_hits=16, containers_depth=4, depth=4,
-            wavefront_capacity=16, pallas="interpret")))
+            rows_per_tile=36, max_hits=16, containers_depth=4, depth=3,
+            wavefront_capacity=8, pallas="interpret")))
         np.testing.assert_allclose(a, b, atol=2e-6)
 
     def test_gradients_match_xla_path(self):

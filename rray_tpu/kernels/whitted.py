@@ -49,6 +49,7 @@ from .analytic import OCCLUSION_KINDS, _occludes
 BR = 512   # lanes per block (one swizzled 16x32 pixel tile)
 SUB = 8    # sublanes per program: 8 blocks -> full (8, 128) vregs
 _INF = float("inf")
+_FAR = 1e30  # mesh-padding sentinel (matches kernels/triangles.py)
 # f32 over/under offset (config.offset_eps) and the n1/n2 hit-match
 # tolerance (ops/soa.py refractive_indices_direct), inlined as constants
 # — the kernel is f32-only.
@@ -71,16 +72,35 @@ def applicable(scene, settings, dtype) -> bool:
     Covers the fast path (no CSG/transparency — width-1 reflection
     chain), the transparency chain, and the compact wavefront; point
     AND area lights (area jitter is the point-keyed hash of
-    ops/jitter.py, recomputed in-register)."""
+    ops/jitter.py, recomputed in-register); and triangle meshes on the
+    depth-0 point-light path (scalar-broadcast Möller–Trumbore over an
+    SMEM table — see MESH_MAX_TRIS for the budget and the gating
+    rationale)."""
     from ..ops import soa
 
     if not soa._use_pallas(settings, dtype):
         return False
-    if scene.csg_ops or scene.counts[6] or scene.counts[5]:
-        return False  # CSG / triangles / torus: XLA wavefront
-    if not all(k in OCCLUSION_KINDS for k in scene.prim_kinds):
+    if scene.csg_ops or scene.counts[5]:
+        return False  # CSG / torus: XLA wavefront
+    if scene.counts[6]:
+        # Mesh gating: the SMEM table bounds T; bounce chains would
+        # replicate the unrolled triangle fold per level (compile blow-
+        # up) and the refraction n1/n2 crossing folds would need every
+        # mesh slot, so meshes fuse only on the depth-0 path; area
+        # lights would rerun the mesh any-hit per shadow sample.
+        if scene.counts[6] > MESH_MAX_TRIS:
+            return False
+        if scene.has_reflective or scene.has_transparent:
+            return False
+        if not all(light.kind == "point" for light in scene.lights):
+            return False
+        if len(_tri_groups(scene)[1]) > 8:
+            return False  # material/pattern selects unroll per group
+    if not all(k in OCCLUSION_KINDS or k == sd.TRIANGLE
+               for k in scene.prim_kinds):
         return False
-    if len(scene.prim_kinds) == 0 or len(scene.prim_kinds) > 16:
+    n_analytic = sum(k != sd.TRIANGLE for k in scene.prim_kinds)
+    if len(scene.prim_kinds) == 0 or n_analytic > 16:
         return False
     if not all(light.kind in ("point", "area") for light in scene.lights):
         return False
@@ -171,6 +191,100 @@ def light_meta(scene):
     """Static per-light (kind, level) tuple."""
     return tuple((light.kind, int(light.level) if light.kind == "area"
                   else 0) for light in scene.lights)
+
+
+# Mesh fusion budget/granularity. The triangle table is SMEM ([T, 19]
+# f32 = 76 B/tri; 1024 tris = 78 KB, same scale as the BVH kernel's
+# 96 KB node-box table) and the per-triangle fold is UNROLLED, so T
+# bounds both scalar memory and Mosaic compile size. MESH_CHUNK is the
+# cull granularity: a chunk whose AABB no ray in the (8, 512) block
+# enters before its current best t is skipped whole under pl.when.
+# Finer chunks looked attractive but measured badly in the standalone
+# kernel (chunk 8 was 2.7x SLOWER than 48 on the teapot frame — the
+# per-chunk slab + branch fixed cost dominates); at 24 the chunk body
+# (~77 ops x 24 tris) outweighs the ~25-op cull by 70x, so the
+# granularity is safe here.
+MESH_MAX_TRIS = 1024
+MESH_CHUNK = 24
+
+# SMEM triangle row layout (f32, world space — mesh transforms are
+# folded into the vertex tables at scene compile):
+#  0-2 p1   3-5 e1   6-8 e2   9-17 n1 n2 n3 (unnormalized vertex
+# normals; flat triangles store n1=n2=n3)   18 material-group id
+# (every triangle is its OWN prim in the flat tables, so materials /
+# patterns select by the static (shade class, pattern) group instead —
+# a handful of groups per scene vs hundreds of triangle prims).
+T_COLS = 19
+
+
+def _tri_groups(scene):
+    """Static (class, pattern) grouping of the triangle prims ->
+    (per-prim gid list, tuple of representative prim ids per group)."""
+    prim_gid = [0] * len(scene.prim_kinds)
+    key_to_gid = {}
+    reps = []
+    for i, k in enumerate(scene.prim_kinds):
+        if k != sd.TRIANGLE:
+            continue
+        key = (scene.prim_class_static[i], scene.prim_pattern_static[i])
+        if key not in key_to_gid:
+            key_to_gid[key] = len(reps)
+            reps.append(i)
+        prim_gid[i] = key_to_gid[key]
+    return prim_gid, tuple(reps)
+
+
+def pack_tris(scene):
+    """([Tp, 19] f32 SMEM triangle table, [6, n_chunks + 1] f32 chunk
+    AABBs — last column is the whole-mesh box) for the in-kernel fold.
+
+    Triangles keep their Morton order (scene/data.py), so MESH_CHUNK
+    runs are spatially tight. Padding rows carry p1 = _FAR with zero
+    edges (degenerate: det == 0 kills them) and are masked out of the
+    chunk boxes."""
+    T = scene.counts[6]
+    pad = (-T) % MESH_CHUNK
+    Tp = T + pad
+
+    def padt(col, fill=0.0):
+        col = col.astype(jnp.float32)
+        return jnp.pad(col, (0, pad), constant_values=fill) if pad else col
+
+    cols = []
+    for k, tbl in enumerate((scene.tri_p1, scene.tri_e1, scene.tri_e2,
+                             scene.tri_n1, scene.tri_n2, scene.tri_n3)):
+        for j in range(3):
+            cols.append(padt(tbl[:, j], fill=(_FAR if k == 0 else 0.0)))
+    prim_gid, _ = _tri_groups(scene)
+    gid = jnp.take(jnp.asarray(prim_gid, jnp.float32), scene.tri_prim)
+    cols.append(padt(gid))
+    tbl = jnp.stack(cols, axis=1)
+
+    n_chunks = Tp // MESH_CHUNK
+    live = (jnp.arange(Tp) < T).reshape(n_chunks, MESH_CHUNK)
+    lo, hi = [], []
+    for j in range(3):
+        v1 = cols[j].reshape(n_chunks, MESH_CHUNK)
+        v2 = v1 + cols[3 + j].reshape(n_chunks, MESH_CHUNK)
+        v3 = v1 + cols[6 + j].reshape(n_chunks, MESH_CHUNK)
+        mn = jnp.where(live, jnp.minimum(jnp.minimum(v1, v2), v3), _INF)
+        mx = jnp.where(live, jnp.maximum(jnp.maximum(v1, v2), v3), -_INF)
+        lo.append(mn.min(axis=1))
+        hi.append(mx.max(axis=1))
+    boxes = jnp.stack([lo[0], lo[1], lo[2], hi[0], hi[1], hi[2]], axis=0)
+    whole = jnp.concatenate([boxes[:3].min(axis=1), boxes[3:].max(axis=1)])
+    return tbl, jnp.concatenate([boxes, whole[:, None]], axis=1)
+
+
+def mesh_meta(scene):
+    """Static mesh descriptor: (padded tri count, representative prim
+    id per material group — see _tri_groups)."""
+    T = scene.counts[6]
+    if not T:
+        return (0, ())
+    Tp = T + ((-T) % MESH_CHUNK)
+    _, reps = _tri_groups(scene)
+    return (Tp, reps)
 
 
 # ---------------------------------------------------------------------------
@@ -274,30 +388,183 @@ def _eval_pattern(descr, pat, pts: V3) -> V3:
               jnp.where(cond, a.z, b.z))
 
 
+def _tile_inv(c):
+    """Zero-safe reciprocal of a direction component (tile)."""
+    return 1.0 / jnp.where(jnp.abs(c) < 1e-30,
+                           jnp.where(c < 0, -1e-30, 1e-30), c)
+
+
+def _tile_slab(o: V3, ix, iy, iz, b, c):
+    """AABB slab test of tile rays against SMEM box column c ->
+    (tmin, tmax) tiles (cube.rs:48-61 form, like triangles._ray_slab)."""
+    tx1 = (b[0, c] - o.x) * ix
+    tx2 = (b[3, c] - o.x) * ix
+    ty1 = (b[1, c] - o.y) * iy
+    ty2 = (b[4, c] - o.y) * iy
+    tz1 = (b[2, c] - o.z) * iz
+    tz2 = (b[5, c] - o.z) * iz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                   jnp.minimum(ty1, ty2)),
+                       jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                   jnp.maximum(ty1, ty2)),
+                       jnp.maximum(tz1, tz2))
+    return tmin, tmax
+
+
+def _mesh_mt(g, o: V3, d: V3):
+    """Möller–Trumbore of tile rays against ONE triangle whose
+    components are SMEM scalars via g(col) (triangle.rs:72-94; the
+    scalar-broadcast dual of triangles._mt_rows — one (8, 512) tile op
+    covers 4096 ray/triangle pairs at full lane occupancy, where the
+    standalone kernel's [1, BR] row ops idle 7/8 of every vreg).
+
+    Returns (tt with misses at +inf, uu, vv) tiles."""
+    e1x, e1y, e1z = g(3), g(4), g(5)
+    e2x, e2y, e2z = g(6), g(7), g(8)
+    cx = d.y * e2z - d.z * e2y
+    cy = d.z * e2x - d.x * e2z
+    cz = d.x * e2y - d.y * e2x
+    det = e1x * cx + e1y * cy + e1z * cz
+    ok = jnp.abs(det) >= EPSILON
+    f = 1.0 / jnp.where(ok, det, 1.0)
+    sx = o.x - g(0)
+    sy = o.y - g(1)
+    sz = o.z - g(2)
+    uu = f * (sx * cx + sy * cy + sz * cz)
+    ok = ok & (uu >= 0.0) & (uu <= 1.0)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    vv = f * (d.x * qx + d.y * qy + d.z * qz)
+    ok = ok & (vv >= 0.0) & (uu + vv <= 1.0)
+    tt = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok = ok & (tt >= 0.0)
+    return jnp.where(ok, tt, _INF), uu, vv
+
+
+def _mesh_closest(Tp, tris, boxes, o: V3, d: V3, bound, mrefs):
+    """Closest mesh hit for tile rays -> written into the 5 scratch
+    refs (t, nx, ny, nz, prim). `bound` is the analytic best t: a
+    chunk is entered only when some ray reaches its AABB before BOTH
+    the analytic hit and the running mesh best (the t_init seeding of
+    ops/soa._pallas_triangle_best, in-register). Accumulation lives in
+    refs because pl.when bodies cannot return values — and lax.cond is
+    flattened by Mosaic to both-branches + select, which would defeat
+    the cull entirely."""
+    mt_ref, mnx_ref, mny_ref, mnz_ref, mp_ref = mrefs
+    inf = jnp.full_like(o.x, _INF)
+    zero = jnp.zeros_like(o.x)
+    mt_ref[...] = inf
+    mnx_ref[...] = zero
+    mny_ref[...] = zero
+    mnz_ref[...] = zero
+    mp_ref[...] = zero
+    ix, iy, iz = _tile_inv(d.x), _tile_inv(d.y), _tile_inv(d.z)
+    n_chunks = Tp // MESH_CHUNK
+
+    wmin, wmax = _tile_slab(o, ix, iy, iz, boxes, n_chunks)  # whole mesh
+    whole = (wmin <= wmax) & (wmax >= 0.0) & (wmin < bound)
+
+    @pl.when(jnp.any(whole))
+    def _mesh():
+        for c in range(n_chunks):
+            tmin, tmax = _tile_slab(o, ix, iy, iz, boxes, c)
+            enter = ((tmin <= tmax) & (tmax >= 0.0)
+                     & (tmin < jnp.minimum(mt_ref[...], bound)))
+
+            @pl.when(jnp.any(enter))
+            def _chunk(c=c):
+                bt = mt_ref[...]
+                bnx, bny, bnz = mnx_ref[...], mny_ref[...], mnz_ref[...]
+                bp = mp_ref[...]
+                for i in range(c * MESH_CHUNK, (c + 1) * MESH_CHUNK):
+                    g = lambda k, i=i: tris[i, k]
+                    tt, uu, vv = _mesh_mt(g, o, d)
+                    better = tt < bt
+                    # Interpolated world vertex normal
+                    # (smooth_triangle.rs:99-101; flat tris store
+                    # n1=n2=n3 so one formula serves both).
+                    w1 = 1.0 - uu - vv
+                    bt = jnp.where(better, tt, bt)
+                    bnx = jnp.where(better, w1 * g(9) + uu * g(12)
+                                    + vv * g(15), bnx)
+                    bny = jnp.where(better, w1 * g(10) + uu * g(13)
+                                    + vv * g(16), bny)
+                    bnz = jnp.where(better, w1 * g(11) + uu * g(14)
+                                    + vv * g(17), bnz)
+                    bp = jnp.where(better, g(18) + zero, bp)
+                mt_ref[...] = bt
+                mnx_ref[...] = bnx
+                mny_ref[...] = bny
+                mnz_ref[...] = bnz
+                mp_ref[...] = bp
+
+
+def _mesh_occludes(Tp, tris, boxes, over: V3, sx, sy, sz, dist, occ_ref,
+                   occ0):
+    """Mesh shadow any-hit for tile rays: occ_ref := occ0 | (some
+    triangle with 0 <= t < dist). Chunks every ray of which is already
+    occluded (or unreachable before `dist`) are skipped."""
+    occ_ref[...] = occ0
+    d = V3(sx, sy, sz)
+    ix, iy, iz = _tile_inv(sx), _tile_inv(sy), _tile_inv(sz)
+    n_chunks = Tp // MESH_CHUNK
+
+    wmin, wmax = _tile_slab(over, ix, iy, iz, boxes, n_chunks)
+    whole = ((wmin <= wmax) & (wmax >= 0.0) & (wmin < dist)
+             & (occ_ref[...] == 0.0))
+
+    @pl.when(jnp.any(whole))
+    def _mesh():
+        for c in range(n_chunks):
+            tmin, tmax = _tile_slab(over, ix, iy, iz, boxes, c)
+            enter = ((tmin <= tmax) & (tmax >= 0.0) & (tmin < dist)
+                     & (occ_ref[...] == 0.0))
+
+            @pl.when(jnp.any(enter))
+            def _chunk(c=c):
+                occ = occ_ref[...] != 0.0
+                for i in range(c * MESH_CHUNK, (c + 1) * MESH_CHUNK):
+                    g = lambda k, i=i: tris[i, k]
+                    tt, _, _ = _mesh_mt(g, over, d)
+                    occ = occ | (tt < dist)
+                occ_ref[...] = occ.astype(jnp.float32)
+
+
 def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
-              has_refr, prims, pat, lights, seeds, o: V3, d: V3):
+              has_refr, prims, pat, lights, seeds, o: V3, d: V3,
+              mesh_ctx=None):
     """One Whitted node over a ray row — the in-register transcript of
     integrator._sorted_node_eval / _fast_node_eval for analytic non-CSG
     scenes. `lmeta` is the static per-light (kind, level) tuple; area
     shadow fractions run the full level^2 jittered-sample loop with the
     point-keyed hash draws of ops/jitter.py (bit-identical to the XLA
     loop's) seeded from seeds[level, light] (SMEM — the XLA fold_in
-    chain evaluated host-side).
+    chain evaluated host-side). `mesh_ctx` = (Tp, pids, tris, boxes,
+    mrefs, occ_ref) activates the fused triangle fold (closest hit,
+    interpolated normals, shadow any-hit) for mesh scenes.
 
     Returns (surface, over, under, reflectv, refr_dir, refl_w, refr_w).
     """
     from ..ops import jitter as jt
     P = len(kinds)
     reader = lambda i: (lambda k, i=i: prims[i, k])
+    false = jnp.zeros_like(o.x, bool)
 
     # --- closest hit: same fold order as soa.closest_hit_soa (strict <
-    # keeps the earlier prim on ties). Object-space rays and slots are
-    # kept for the n1/n2 crossing folds below — the fusion the XLA path
+    # keeps the earlier prim on ties; triangle prims fold afterwards
+    # like its mesh-kernel merge). Object-space rays and slots are kept
+    # for the n1/n2 crossing folds below — the fusion the XLA path
     # can't do without materializing [K, R] slot buffers.
     slots_per_prim = []
     best_t = jnp.full_like(o.x, _INF)
     win = []  # one-hot winner masks per prim
     for i, kind in enumerate(kinds):
+        if kind == sd.TRIANGLE:
+            slots_per_prim.append(())
+            win = win + [false]
+            continue
         p = reader(i)
         ol = _affine_pt(p, 0, o)
         dl = _affine_vec(p, 0, d)
@@ -309,6 +576,21 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
         better = tp < best_t
         best_t = jnp.where(better, tp, best_t)
         win = [w & ~better for w in win] + [better]
+    analytic = [i for i, k in enumerate(kinds) if k != sd.TRIANGLE]
+
+    if mesh_ctx is not None:
+        # Mesh fold, seeded by the analytic best (its refs accumulate
+        # across per-chunk pl.when regions; see _mesh_closest).
+        mTp, mreps, mtris, mboxes, mrefs, mocc_ref = mesh_ctx
+        _mesh_closest(mTp, mtris, mboxes, o, d, best_t, mrefs)
+        m_t = mrefs[0][...]
+        mesh_win = m_t < best_t
+        best_t = jnp.where(mesh_win, m_t, best_t)
+        win = [w & ~mesh_win for w in win]
+        m_n = V3(mrefs[1][...], mrefs[2][...], mrefs[3][...])
+        m_gid = mrefs[4][...]
+    else:
+        mesh_win = None
     found = jnp.isfinite(best_t)
     t_safe = jnp.where(found, best_t, 0.0)
     point = o + d * t_safe
@@ -317,9 +599,9 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
     zeroR = jnp.zeros_like(o.x)
 
     def sel3(v3_fn):
-        """Winner-select a per-prim V3 (one-hot masks, P small)."""
+        """Winner-select a per-prim V3 (one-hot masks, few prims)."""
         ax = ay = az = zeroR
-        for i in range(P):
+        for i in analytic:
             v = v3_fn(i)
             ax = jnp.where(win[i], v.x, ax)
             ay = jnp.where(win[i], v.y, ay)
@@ -328,18 +610,28 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
 
     def mat(k):
         acc = zeroR
-        for i in range(P):
+        for i in analytic:
             acc = jnp.where(win[i], prims[i, k], acc)
+        if mesh_win is not None:
+            for gid, rep in enumerate(mreps):
+                acc = jnp.where(mesh_win & (m_gid == float(gid)),
+                                prims[rep, k], acc)
         return acc
 
     # --- normal: winner's kind formula on ITS object-space point,
-    # through ITS normal matrix (shade_soa.normal_at), eye flip.
+    # through ITS normal matrix (shade_soa.normal_at), eye flip. Mesh
+    # winners carry the interpolated world vertex normal from the fold.
     def world_normal(i):
         p = reader(i)
         lp_i = _affine_pt(p, 0, point)
         return _nmat_vec(p, _local_normal(kinds[i], p, lp_i))
 
-    normalv = sel3(world_normal).normalize()
+    nsel = sel3(world_normal)
+    if mesh_win is not None:
+        nsel = V3(jnp.where(mesh_win, m_n.x, nsel.x),
+                  jnp.where(mesh_win, m_n.y, nsel.y),
+                  jnp.where(mesh_win, m_n.z, nsel.z))
+    normalv = nsel.normalize()
     inside = normalv.dot(eyev) < 0.0
     normalv = normalv * jnp.where(inside, -1.0, 1.0)
     over = point + normalv * _EPS_OFF
@@ -385,6 +677,14 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
     # --- pattern at over (winner's static tree on ITS object space).
     base = sel3(lambda i: _eval_pattern(pat_descrs[prim_pat[i]], pat,
                                         _affine_pt(reader(i), 0, over)))
+    if mesh_win is not None:
+        for gid, rep in enumerate(mreps):
+            pv = _eval_pattern(pat_descrs[prim_pat[rep]], pat,
+                               _affine_pt(reader(rep), 0, over))
+            m = mesh_win & (m_gid == float(gid))
+            base = V3(jnp.where(m, pv.x, base.x),
+                      jnp.where(m, pv.y, base.y),
+                      jnp.where(m, pv.z, base.z))
 
     # --- Phong per light with binary point shadows (light.rs:98-140).
     surface = V3(jnp.zeros_like(o.x), jnp.zeros_like(o.x),
@@ -394,9 +694,15 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
     def occludes_seg(sx, sy, sz, dist):
         occ = jnp.zeros_like(o.x, bool)
         for i, kind in enumerate(kinds):
+            if kind == sd.TRIANGLE:
+                continue
             occ = occ | _occludes(kind, lambda j, i=i: prims[i, j],
                                   over.x, over.y, over.z, sx, sy, sz,
                                   dist)
+        if mesh_ctx is not None:
+            _mesh_occludes(mTp, mtris, mboxes, over, sx, sy, sz, dist,
+                           mocc_ref, occ.astype(o.x.dtype))
+            occ = mocc_ref[...] != 0.0
         return occ
 
     for li, (lkind, llevel) in enumerate(lmeta):
@@ -481,9 +787,8 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
     return surface, over, under, reflectv, refr_dir, refl_w, refr_w
 
 
-def _kernel(kinds, pat_descrs, prim_pat, lmeta, depth, W, has_refl,
-            has_refr, rox, roy, roz, rdx, rdy, rdz, prims, pat, lights,
-            seeds, outr, outg, outb, st, child, acc):
+def _kernel(kinds, pat_descrs, prim_pat, lmeta, mesh, depth, W, has_refl,
+            has_refr, *refs):
     """Per-program level scan over a [SUB, BR] ray block.
 
     Every per-ray value is a (SUB, BR) = (8, 512) tile — a full vreg
@@ -496,7 +801,23 @@ def _kernel(kinds, pat_descrs, prim_pat, lmeta, depth, W, has_refl,
 
     st is [7*W*SUB, BR]: component c of path row r lives at sublane
     rows [(c*W + r)*SUB, +SUB) — all reads/writes are 8-sublane-aligned
-    static slices. child holds spawn*W rows; acc is [3*SUB, BR]."""
+    static slices. child holds spawn*W rows; acc is [3*SUB, BR]. Mesh
+    scenes (mesh = (Tp, pids), Tp > 0) add the SMEM triangle table +
+    chunk boxes as inputs and 6 mesh scratch tiles (5 closest-hit
+    payload accumulators + 1 shadow-occlusion accumulator)."""
+    refs = list(refs)
+    rox, roy, roz, rdx, rdy, rdz, prims, pat, lights, seeds = refs[:10]
+    del refs[:10]
+    if mesh[0]:
+        tris, boxes = refs[:2]
+        del refs[:2]
+    outr, outg, outb, st, child, acc = refs[:6]
+    del refs[:6]
+    if mesh[0]:
+        mesh_ctx = (mesh[0], mesh[1], tris, boxes, tuple(refs[:5]),
+                    refs[5])
+    else:
+        mesh_ctx = None
     zero = jnp.zeros((SUB, BR), jnp.float32)
     one = jnp.ones((SUB, BR), jnp.float32)
     both = has_refl and has_refr
@@ -547,7 +868,8 @@ def _kernel(kinds, pat_descrs, prim_pat, lmeta, depth, W, has_refl,
                         refr_w = _node_row(kinds, pat_descrs, prim_pat,
                                            lmeta, level, has_refl,
                                            has_refr, prims, pat, lights,
-                                           seeds, o, d)
+                                           seeds, o, d,
+                                           mesh_ctx=mesh_ctx)
                     for c, v in enumerate((surface.x, surface.y,
                                            surface.z)):
                         sl = slice(c * SUB, (c + 1) * SUB)
@@ -592,18 +914,20 @@ def _kernel(kinds, pat_descrs, prim_pat, lmeta, depth, W, has_refl,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "kinds", "pat_descrs", "prim_pat", "lmeta", "depth", "W", "has_refl",
-    "has_refr", "interpret"))
+    "kinds", "pat_descrs", "prim_pat", "lmeta", "mesh", "depth", "W",
+    "has_refl", "has_refr", "interpret"))
 def whitted_compact(ro_comps, rd_comps, prim_tbl, pat_tbl, light_tbl,
                     seeds, kinds, pat_descrs, prim_pat, lmeta,
                     depth: int, W: int, has_refl: bool, has_refr: bool,
+                    tri_tbl=None, tri_boxes=None, mesh=(0, ()),
                     interpret: bool = False):
     """Fused Whitted evaluation -> (r, g, b) [R] f32.
 
     ro/rd_comps: 3-tuples of [R] f32; prim_tbl [P,32], pat_tbl [N,16],
     light_tbl [L,15] (see pack_*); seeds [depth+1, L] int32 per-level
     per-light jitter seeds (the XLA fold_in chain evaluated host-side);
-    statics mirror the scene structure (lmeta from light_meta()).
+    statics mirror the scene structure (lmeta from light_meta(), mesh
+    from mesh_meta() with tri_tbl/tri_boxes from pack_tris()).
     """
     R = ro_comps[0].shape[0]
     blk = SUB * BR
@@ -621,6 +945,8 @@ def whitted_compact(ro_comps, rd_comps, prim_tbl, pat_tbl, light_tbl,
              for i, c in enumerate(rd_comps)]
     args += [prim_tbl.astype(f32), pat_tbl.astype(f32),
              light_tbl.astype(f32), seeds.astype(jnp.int32)]
+    if mesh[0]:
+        args += [tri_tbl.astype(f32), tri_boxes.astype(f32)]
 
     both = has_refl and has_refr
     assert both or W == 1, "width-1 chain unless both spawn"
@@ -630,18 +956,23 @@ def whitted_compact(ro_comps, rd_comps, prim_tbl, pat_tbl, light_tbl,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((SUB, BR), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((7 * W * SUB, BR), f32),
+        pltpu.VMEM((7 * max(spawn, 1) * W * SUB, BR), f32),
+        pltpu.VMEM((3 * SUB, BR), f32),
+    ]
+    if mesh[0]:
+        # 5 mesh closest-hit accumulators (t, nx, ny, nz, prim) + 1
+        # shadow-occlusion accumulator, each one (SUB, BR) tile.
+        scratch += [pltpu.VMEM((SUB, BR), f32) for _ in range(6)]
     outs = pl.pallas_call(
         functools.partial(_kernel, kinds, pat_descrs, prim_pat, lmeta,
-                          depth, W, has_refl, has_refr),
+                          mesh, depth, W, has_refl, has_refr),
         grid=(nrows // SUB,),
-        in_specs=[ray_spec] * 6 + [smem] * 4,
+        in_specs=[ray_spec] * 6 + [smem] * (6 if mesh[0] else 4),
         out_specs=(out_spec,) * 3,
         out_shape=(jax.ShapeDtypeStruct((nrows, BR), f32),) * 3,
-        scratch_shapes=[
-            pltpu.VMEM((7 * W * SUB, BR), f32),
-            pltpu.VMEM((7 * max(spawn, 1) * W * SUB, BR), f32),
-            pltpu.VMEM((3 * SUB, BR), f32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
     return tuple(o.reshape(Rp)[:R] for o in outs)

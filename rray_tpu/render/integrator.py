@@ -221,13 +221,17 @@ def _color_at_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
     """Fast path (no CSG/transparency): kernel or XLA dispatcher.
 
     The fused Whitted kernel takes this path only when the scene has an
-    area light — that is where fusing the node around the sample loop
-    pays; pure point-light fast scenes already run at ~roofline in XLA
-    (config1: 10 G rays/s) and a kernel's I/O materialization would
-    only slow them down."""
+    area light (fusing the node around the sample loop pays) or a
+    triangle mesh (the fused scalar-broadcast fold beat the standalone
+    [1, BR]-row kernels' per-chunk/per-dispatch overheads — config4
+    decomposition measured the two standalone kernels at 96% of frame
+    time); pure point-light analytic scenes already run at ~roofline
+    in XLA (config1: 10 G rays/s) and a kernel's I/O materialization
+    would only slow them down."""
     from ..kernels import whitted as kwhit
     if (kwhit.applicable(scene, settings, ro.dtype)
-            and any(light.kind == "area" for light in scene.lights)):
+            and (scene.counts[6]
+                 or any(light.kind == "area" for light in scene.lights))):
         outs = _whitted_kernel_call(
             scene, (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z), key, remaining,
             settings)
@@ -929,12 +933,17 @@ def _whitted_kernel_call(scene, rays, key, remaining, settings):
             jax.random.fold_in(jax.random.fold_in(key, lvl), 1000 + li))
             for li in range(L)])
         for lvl in range(depth + 1)])
+    mesh = kwhit.mesh_meta(scene)
+    tri_tbl = tri_boxes = None
+    if mesh[0]:
+        tri_tbl, tri_boxes = kwhit.pack_tris(scene)
     return kwhit.whitted_compact(
         rays[:3], rays[3:], prim_tbl, pat_tbl, light_tbl, seeds,
         kinds=tuple(scene.prim_kinds), pat_descrs=descrs,
         prim_pat=tuple(scene.prim_pattern_static),
         lmeta=kwhit.light_meta(scene), depth=depth, W=W,
         has_refl=scene.has_reflective, has_refr=scene.has_transparent,
+        tri_tbl=tri_tbl, tri_boxes=tri_boxes, mesh=mesh,
         interpret=getattr(settings, "pallas", "off") == "interpret")
 
 

@@ -119,6 +119,62 @@ class TestWhittedKernel:
         b = _render(GLASS, "compact", pallas="interpret")
         np.testing.assert_allclose(a, b, atol=2e-6)
 
+    def test_mesh_scene_gating_and_gradients(self):
+        """Depth-0 point-light mesh scenes fuse into the whitted kernel
+        (scalar-broadcast MT over the SMEM triangle table); the custom
+        VJP recomputes through the XLA node, so mesh gradients must
+        match the pure-XLA gradients. Reflective/transparent mesh
+        scenes and >MESH_MAX_TRIS meshes must NOT take the kernel."""
+        import dataclasses
+
+        import jax
+
+        from rray_tpu import (Camera, Material, Pattern, PointLight,
+                              RenderSettings, Shape, compile_camera,
+                              compile_scene)
+        from rray_tpu import mathutils as mu
+        from rray_tpu.io.obj_loader import load_obj_str
+        from rray_tpu.kernels import whitted as kwhit
+        from rray_tpu.render.integrator import render
+
+        tet = load_obj_str(
+            "v 0 1.6 -0.2\nv 0.9 0.3 -0.7\nv -0.9 0.3 -0.7\nv 0 0.3 1.0\n"
+            "f 1 2 3\nf 1 3 4\nf 1 4 2\nf 2 4 3\n",
+            Material(pattern=Pattern.solid([0.7, 0.5, 0.2])))
+        floor = Shape("plane", material=Material(
+            pattern=Pattern("checker", a=Pattern.solid([1.0, 1.0, 1.0]),
+                            b=Pattern.solid([0.2, 0.2, 0.2])),
+            specular=0.0))
+        light = PointLight(np.array([-10.0, 10.0, -10.0]), np.ones(3))
+        scene = compile_scene([floor, tet], [light], dtype=jnp.float32)
+        cam_h = Camera(32, 24, np.pi / 3)
+        cam_h.transform = mu.view_transform([0, 1.5, -5], [0, 1, 0],
+                                            [0, 1, 0])
+        cam = compile_camera(cam_h, jnp.float32)
+        st_i = RenderSettings(rows_per_tile=24, pallas="interpret")
+        st_o = RenderSettings(rows_per_tile=24, pallas="off")
+        assert kwhit.applicable(scene, st_i, jnp.float32)
+
+        def fl(g):
+            return [l for l in jax.tree_util.tree_leaves(g)
+                    if hasattr(l, "dtype")
+                    and jnp.issubdtype(l.dtype, jnp.floating) and l.size]
+
+        def loss(settings):
+            return lambda s: (render(s, cam, settings=settings) ** 2).sum()
+
+        gk = jax.grad(loss(st_i), allow_int=True)(scene)
+        gx = jax.grad(loss(st_o), allow_int=True)(scene)
+        assert all(bool(jnp.isfinite(l).all()) for l in fl(gk))
+        assert any(float(jnp.abs(l).sum()) > 0 for l in fl(gk))
+        for lk, lx in zip(fl(gk), fl(gx)):
+            np.testing.assert_allclose(np.asarray(lk), np.asarray(lx),
+                                       atol=2e-3)
+
+        # Gating: a reflective floor pushes mesh scenes off the kernel.
+        refl = dataclasses.replace(scene, has_reflective=True)
+        assert not kwhit.applicable(refl, st_i, jnp.float32)
+
     def test_area_scene_matches_xla(self):
         """area_light.yaml through the fused kernel (fast path, depth
         0, 25-sample soft shadows): the jitter draws are recomputed

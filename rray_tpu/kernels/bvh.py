@@ -66,8 +66,16 @@ def auto_leaf(T: int, leaf: int = LEAF, max_leaves: int = MAX_LEAVES) -> int:
     auto-raises leaf 256 -> 296 instead of tripping an assert deep
     inside render. Larger leaves trade slab-test granularity for tree
     height; traversal stays correct at any leaf size (the A/B tests pin
-    this at a forced-small `max_leaves`)."""
-    need = -(-T // max_leaves)          # ceil: tris one leaf must absorb
+    this at a forced-small `max_leaves`).
+
+    build_tree pads the leaf count to the next power of two, so the
+    budget is really the largest power of two <= max_leaves — sizing
+    against max_leaves itself would let e.g. T=1536, max_leaves=3 pad
+    to Lp=4 and trip the `Lp <= max_leaves` assert."""
+    cap = 1
+    while cap * 2 <= max_leaves:
+        cap *= 2
+    need = -(-T // cap)                 # ceil: tris one leaf must absorb
     raised = -(-need // 8) * 8          # sublane-align the VMEM scratch
     return max(leaf, raised)
 

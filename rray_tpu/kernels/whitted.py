@@ -696,7 +696,13 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
         for i, kind in enumerate(kinds):
             if kind == sd.TRIANGLE:
                 continue
-            occ = occ | _occludes(kind, lambda j, i=i: prims[i, j],
+            # _occludes reads the 16-col analytic layout (extras —
+            # ymin/ymax/closed — at 12-14); this kernel's 32-col rows
+            # keep the normal matrix there and the extras at 21-23, so
+            # remap the reader (12->21, 13->22, 14->23).
+            occ = occ | _occludes(kind,
+                                  lambda j, i=i: prims[i, j + 9
+                                                       if j >= 12 else j],
                                   over.x, over.y, over.z, sx, sy, sz,
                                   dist)
         if mesh_ctx is not None:

@@ -108,14 +108,15 @@ def normal_at(scene: sd.SceneData, prim, u, v, world_pt):
     world_n = _normalize(jnp.einsum("rij,rj->ri", scene.prim_nmat[prim], local_n))
 
     if sd.TRIANGLE in present:
-        nflat = _gather_rows(scene.tri_nflat, row)
+        # One formula for smooth AND flat (flat tris store n1=n2=n3 —
+        # the interpolation is the identity), so grad attribution to
+        # the normal tables is identical on every execution path.
         n1 = _gather_rows(scene.tri_n1, row)
         n2 = _gather_rows(scene.tri_n2, row)
         n3 = _gather_rows(scene.tri_n3, row)
-        smooth = _gather_rows(scene.tri_smooth, row)
         interp = (n2 * u[:, None] + n3 * v[:, None]
                   + n1 * (1.0 - u - v)[:, None])
-        tri_n = _normalize(jnp.where(smooth[:, None], interp, nflat))
+        tri_n = _normalize(interp)
         world_n = jnp.where((ptype == sd.TRIANGLE)[:, None], tri_n, world_n)
 
     return world_n

@@ -66,6 +66,14 @@ def render_sharded(scene: sd.SceneData, cam: CameraData, mesh: Mesh,
     """
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
+    # Resolve pallas="auto" against the MESH's devices, not the default
+    # backend: a CPU mesh on a TPU-default process (the 8-virtual-device
+    # dryrun under the axon backend) would otherwise trace pallas_call
+    # inside shard_map, which the CPU path can't execute.
+    if (getattr(settings, "pallas", "off") == "auto"
+            and np.asarray(mesh.devices).flat[0].platform == "cpu"):
+        import dataclasses
+        settings = dataclasses.replace(settings, pallas="off")
     ro, rd = all_rays_soa(cam)
     R = ro.x.shape[0]
     # Per-device tile size: the single-device cap, but never bigger than
@@ -91,6 +99,7 @@ def render_sharded(scene: sd.SceneData, cam: CameraData, mesh: Mesh,
         # exactly for area scenes too (rounds 1-3 folded the device
         # index here, which made area frames tiling-dependent).
         k = key_
+        scene_ = sd.canonicalize(scene_)
 
         def tile_fn(args):
             o, d = args

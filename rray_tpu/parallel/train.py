@@ -60,7 +60,15 @@ def render_loss(params, rest, cam: CameraData, target, settings, key, axis=None)
     layout); the sharding constraint on each [R] component lets XLA
     shard the forward AND backward over the mesh, inserting the gradient
     psum itself."""
-    scene = merge_scene(params, rest)
+    scene = sd.canonicalize(merge_scene(params, rest))
+    if axis is not None and getattr(settings, "pallas", "off") == "auto":
+        # Resolve "auto" against the training mesh's devices (see
+        # parallel/mesh.py — a CPU mesh on a TPU-default process must
+        # not trace Pallas TPU kernels).
+        import dataclasses
+        import numpy as np
+        if np.asarray(axis[0].devices).flat[0].platform == "cpu":
+            settings = dataclasses.replace(settings, pallas="off")
     ro, rd = all_rays_soa(cam)
     if axis is not None:
         spec = NamedSharding(axis[0], P(axis[1]))

@@ -1005,6 +1005,7 @@ def _color_at_sorted_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
 def color_at(scene: sd.SceneData, ro, rd, remaining: int,
              settings: RenderSettings, key):
     """Color seen along rays; accepts [R,3] arrays (public API)."""
+    scene = sd.canonicalize(scene)
     node = _soa_node_fn(scene)
     out = node(scene, V3(ro[:, 0], ro[:, 1], ro[:, 2]),
                V3(rd[:, 0], rd[:, 1], rd[:, 2]), remaining, settings, key)
@@ -1108,6 +1109,10 @@ def _tile_eval(scene, ro, rd, remaining, settings, key):
     differently depending on tile count, and wavefront A/B tests only
     agreed when both paths compiled identically. Always compiling keeps
     results a function of the scene, not the batching (and is faster)."""
+    # Single source of truth: re-derive the duplicated tables (per-type
+    # affines, cls_table) from the canonical leaves so gradient mass is
+    # path-invariant and a trained scene cannot desync its copies.
+    scene = sd.canonicalize(scene)
     return _soa_node_fn(scene)(scene, ro, rd, remaining, settings, key)
 
 

@@ -22,6 +22,7 @@ from ..config import RenderSettings
 from ..render.camera import CameraData, rays_for_pixels_soa
 from ..render import integrator
 from ..scene import data as sd
+from ..scene import data as sd
 
 log = logging.getLogger("rray_tpu.progressive")
 
@@ -37,6 +38,7 @@ def render_rows(scene: sd.SceneData, cam: CameraData, row_start: int,
     ys, xs = jnp.meshgrid(row_start + jnp.arange(n_rows),
                           jnp.arange(cam.hsize), indexing="ij")
     key = jax.random.fold_in(jax.random.PRNGKey(seed), row_start)
+    scene = sd.canonicalize(scene)
     node = integrator._soa_node_fn(scene)
     ro, rd = rays_for_pixels_soa(cam, xs.reshape(-1), ys.reshape(-1))
     colors = node(scene, ro, rd, settings.depth, settings, key).to_array()

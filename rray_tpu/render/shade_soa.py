@@ -182,13 +182,12 @@ def normal_at(scene: sd.SceneData, hit: Hit, world_pt: V3,
                 return V3(_take(table[:, 0], tri), _take(table[:, 1], tri),
                           _take(table[:, 2], tri))
 
-            smooth = _take(scene.tri_smooth, tri)
+            # One formula for smooth AND flat (flat tris store
+            # n1=n2=n3 — identity interpolation), matching the kernel
+            # paths so grad attribution is path-invariant.
             interp = (tv3(scene.tri_n2) * hit.u + tv3(scene.tri_n3) * hit.v
                       + tv3(scene.tri_n1) * (1.0 - hit.u - hit.v))
-            nflat = tv3(scene.tri_nflat)
-            tri_n = V3(jnp.where(smooth, interp.x, nflat.x),
-                       jnp.where(smooth, interp.y, nflat.y),
-                       jnp.where(smooth, interp.z, nflat.z)).normalize()
+            tri_n = interp.normalize()
         m = ptype == sd.TRIANGLE
         world_n = V3(jnp.where(m, tri_n.x, world_n.x),
                      jnp.where(m, tri_n.y, world_n.y),

@@ -269,7 +269,11 @@ class SceneData:
     tri_p1: Any         # [T,3]
     tri_e1: Any
     tri_e2: Any
-    tri_nflat: Any      # [T,3] normalized flat normal
+    # Vertex normals are the SINGLE normal source on every path: flat
+    # triangles store n1 = n2 = n3 = the normalized flat normal
+    # (triangle.rs:55,96-98), so the smooth interpolation
+    # (smooth_triangle.rs:99-101) is the identity for them and gradient
+    # attribution cannot depend on which execution path ran.
     tri_n1: Any         # [T,3] unnormalized world vertex normals
     tri_n2: Any
     tri_n3: Any
@@ -314,7 +318,7 @@ _register(SceneData,
               "cyl_inv", "cyl_prim", "cyl_min", "cyl_max", "cyl_closed",
               "con_inv", "con_prim", "con_min", "con_max", "con_closed",
               "tor_inv", "tor_prim", "tor_r",
-              "tri_p1", "tri_e1", "tri_e2", "tri_nflat",
+              "tri_p1", "tri_e1", "tri_e2",
               "tri_n1", "tri_n2", "tri_n3", "tri_smooth", "tri_prim",
               "tri_class", "csg_side", "lights", "patterns",
           ),
@@ -671,7 +675,7 @@ def compile_scene(objects, lights, dtype=None) -> SceneData:
         con_min=con_min, con_max=con_max, con_closed=con_closed,
         tor_inv=tor_inv, tor_prim=tor_prim, tor_r=tor_r,
         tri_p1=jnp.asarray(tp1, dtype), tri_e1=jnp.asarray(te1, dtype),
-        tri_e2=jnp.asarray(te2, dtype), tri_nflat=jnp.asarray(tnf, dtype),
+        tri_e2=jnp.asarray(te2, dtype),
         tri_n1=jnp.asarray(tn1, dtype), tri_n2=jnp.asarray(tn2, dtype),
         tri_n3=jnp.asarray(tn3, dtype), tri_smooth=jnp.asarray(tsm),
         tri_prim=jnp.asarray(np.array([l.prim_id for l in tris], np.int32)),
@@ -695,6 +699,80 @@ def compile_scene(objects, lights, dtype=None) -> SceneData:
         prim_class_static=tuple(int(c) for c in prim_class),
         prim_pattern_static=tuple(int(i) for i in pat_ids),
     )
+
+
+def canonicalize(scene: SceneData) -> SceneData:
+    """Re-derive every duplicated device tensor from its canonical source.
+
+    The SoA layout stores the same physical quantity more than once for
+    layout reasons: the per-prim world->object affines (`prim_inv`) are
+    copied into per-type intersection tables (`sph_inv`..`tor_inv`) and,
+    together with `prim_nmat`, the `mat_*` scalars and the cylinder/
+    cone/torus extras, into the per-class shade rows (`cls_table`).
+    Rendering a scene whose copies have drifted apart (e.g. after an
+    optimizer step updated one table but not another) silently produces
+    path-dependent images — the round-4 red test's failure mode, which
+    `tri_nflat`'s removal fixed for triangle normals but which applies
+    to every duplicated tensor.
+
+    This is called at the top of every traced forward (integrator
+    `_tile_eval`, `color_at`, the SPMD shard body), so:
+    * forward values are bit-identical to the compile-time tables (the
+      derivation is gathers/reshapes/casts only — no arithmetic);
+    * gradient mass lands ONLY on the canonical leaves (`prim_inv`,
+      `prim_nmat`, `mat_*`, `cyl_*`/`con_*`/`tor_r`, `tri_*`, lights,
+      patterns) on every execution path — the derived copies receive
+      zero cotangent because they are overwritten before use;
+    * a trained scene renders identically under the kernel and XLA
+      paths (train-then-render A/B in test_wavefront).
+    """
+    if not scene.prim_kinds:
+        return scene
+    dtype = scene.prim_inv.dtype
+    kinds = scene.prim_kinds
+    upd: dict = {}
+
+    for name, t in (("sph_inv", SPHERE), ("pla_inv", PLANE),
+                    ("cub_inv", CUBE), ("cyl_inv", CYLINDER),
+                    ("con_inv", CONE), ("tor_inv", TORUS)):
+        ids = np.array([i for i, k in enumerate(kinds) if k == t], np.int32)
+        if ids.size:
+            upd[name] = jnp.take(scene.prim_inv, jnp.asarray(ids), axis=0)
+
+    M = scene.n_classes
+    if M:
+        reps: list = [None] * M
+        for pid, ci in enumerate(scene.prim_class_static):
+            if reps[ci] is None:
+                reps[ci] = pid
+        z = jnp.zeros((), dtype)
+        f = lambda v: jnp.asarray(v, dtype).reshape(-1)
+        rows = []
+        for ci in range(M):
+            pid = reps[ci]
+            t = kinds[pid]
+            row = scene.prim_rows_static[pid]
+            if t == CYLINDER:
+                pmin, pmax = scene.cyl_min[row], scene.cyl_max[row]
+                closed = scene.cyl_closed[row].astype(dtype)
+            elif t == CONE:
+                pmin, pmax = scene.con_min[row], scene.con_max[row]
+                closed = scene.con_closed[row].astype(dtype)
+            else:
+                pmin = pmax = closed = z
+            torr = scene.tor_r[row] if t == TORUS else z
+            rows.append(jnp.concatenate([
+                f(scene.prim_inv[pid]), f(scene.prim_nmat[pid]),
+                f(float(t) * jnp.ones((), dtype)),
+                f(float(scene.prim_pattern_static[pid])
+                  * jnp.ones((), dtype)),
+                f(scene.mat_ambient[pid]), f(scene.mat_diffuse[pid]),
+                f(scene.mat_specular[pid]), f(scene.mat_shininess[pid]),
+                f(scene.mat_reflective[pid]),
+                f(scene.mat_transparency[pid]), f(scene.mat_ior[pid]),
+                f(pmin), f(pmax), f(closed), f(torr)]))
+        upd["cls_table"] = jnp.stack(rows)
+    return dataclasses.replace(scene, **upd)
 
 
 def analytic_slot_count(scene: SceneData) -> int:

@@ -244,3 +244,91 @@ class TestWhittedKernel:
         for a, b in zip(grads["off"], grads["interpret"]):
             assert np.isfinite(b).all()
             np.testing.assert_allclose(a, b, rtol=0.05, atol=1e-4)
+
+    def test_cylinder_cone_shadows_match_xla(self):
+        """Bounded closed cylinder + cone shadows through the fused
+        kernel: _occludes reads the analytic 16-col layout (ymin/ymax/
+        closed at 12-14), which the whitted 32-col prim rows must remap
+        to 21-23 — the unmapped reader fed normal-matrix entries as cap
+        bounds and dropped the shadows (round-4 advisor high finding;
+        measured 0.51 linear-color diff before the fix)."""
+        from rray_tpu import (AreaLight, Camera, Material, Pattern,
+                              RenderSettings, Shape, compile_camera,
+                              compile_scene)
+        from rray_tpu import mathutils as mu
+        from rray_tpu.kernels import whitted as kwhit
+        from rray_tpu.render.integrator import render
+
+        floor = Shape("plane", material=Material(
+            pattern=Pattern.solid([1.0, 0.9, 0.9]), specular=0.0))
+        cyl = Shape("cylinder", transform=mu.translate(-1.0, 0.0, 0.5),
+                    minimum=0.0, maximum=1.5, closed=True,
+                    material=Material(pattern=Pattern.solid(
+                        [0.2, 0.7, 0.3])))
+        cone = Shape("cone", transform=mu.translate(1.2, 1.0, 0.5),
+                     minimum=-1.0, maximum=0.0, closed=True,
+                     material=Material(pattern=Pattern.solid(
+                         [0.7, 0.3, 0.2])))
+        light = AreaLight(np.array([-6.0, 8.0, -4.0]),
+                          np.array([2.0, 0.0, 0.0]),
+                          np.array([0.0, 2.0, 0.0]), np.ones(3), level=3)
+        scene = compile_scene([floor, cyl, cone], [light],
+                              dtype=jnp.float32)
+        cam_h = Camera(64, 48, np.pi / 3)
+        cam_h.transform = mu.view_transform([0, 2.5, -6], [0, 1, 0],
+                                            [0, 1, 0])
+        cam = compile_camera(cam_h, jnp.float32)
+        st_i = RenderSettings(rows_per_tile=48, pallas="interpret")
+        assert kwhit.applicable(scene, st_i, jnp.float32)
+        a = np.asarray(render(scene, cam,
+                              settings=RenderSettings(rows_per_tile=48,
+                                                      pallas="off")))
+        b = np.asarray(render(scene, cam, settings=st_i))
+        # The scene must actually shadow (else the A/B proves nothing).
+        lit = a.max(axis=2)
+        assert lit.min() < 0.55 * lit.max()
+        np.testing.assert_allclose(a, b, atol=2e-6)
+
+    def test_train_then_render_path_invariant(self):
+        """One optimizer step on kernel-path gradients must leave a
+        scene that renders identically under the kernel and pure-XLA
+        paths — i.e. no gradient mass may land on tensors only one
+        path consumes (the round-4 red test's failure mode: flat
+        normals duplicated across tri_nflat and tri_n1..n3)."""
+        import jax
+
+        from rray_tpu import (Camera, Material, Pattern, PointLight,
+                              RenderSettings, Shape, compile_camera,
+                              compile_scene)
+        from rray_tpu import mathutils as mu
+        from rray_tpu.io.obj_loader import load_obj_str
+        from rray_tpu.render.integrator import render
+
+        tet = load_obj_str(
+            "v 0 1.6 -0.2\nv 0.9 0.3 -0.7\nv -0.9 0.3 -0.7\nv 0 0.3 1.0\n"
+            "f 1 2 3\nf 1 3 4\nf 1 4 2\nf 2 4 3\n",
+            Material(pattern=Pattern.solid([0.7, 0.5, 0.2])))
+        floor = Shape("plane", material=Material(
+            pattern=Pattern.solid([0.9, 0.9, 1.0]), specular=0.0))
+        light = PointLight(np.array([-10.0, 10.0, -10.0]), np.ones(3))
+        scene = compile_scene([floor, tet], [light], dtype=jnp.float32)
+        cam_h = Camera(32, 24, np.pi / 3)
+        cam_h.transform = mu.view_transform([0, 1.5, -5], [0, 1, 0],
+                                            [0, 1, 0])
+        cam = compile_camera(cam_h, jnp.float32)
+        st_i = RenderSettings(rows_per_tile=24, pallas="interpret")
+        st_o = RenderSettings(rows_per_tile=24, pallas="off")
+
+        g = jax.grad(lambda s: (render(s, cam, settings=st_i) ** 2).sum(),
+                     allow_int=True)(scene)
+        lr = 0.05
+        trained = jax.tree_util.tree_map(
+            lambda p, gg: p - lr * gg
+            if (hasattr(p, "dtype")
+                and jnp.issubdtype(p.dtype, jnp.floating)) else p,
+            scene, g)
+        a = np.asarray(render(trained, cam, settings=st_o))
+        b = np.asarray(render(trained, cam, settings=st_i))
+        assert np.abs(a - np.asarray(render(scene, cam, settings=st_o))
+                      ).max() > 1e-4  # the step actually moved the frame
+        np.testing.assert_allclose(a, b, atol=2e-6)

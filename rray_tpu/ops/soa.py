@@ -364,9 +364,10 @@ def _pallas_triangle_any(scene: sd.SceneData, ro: V3, rd: V3, settings,
     return hit[:R] != 0
 
 
-def _mt_winner_xla(idxc, live, normals, ro_c, rd_c, tri_comps):
+def _mt_winner_xla(live, normals, ro_c, rd_c, gathered):
     """Differentiable XLA recompute of the winning triangle's
-    Möller–Trumbore outputs (triangle.rs:72-94) from the winner index.
+    Möller–Trumbore outputs (triangle.rs:72-94) from the winner's
+    PRE-GATHERED components.
 
     Backward-pass helper for the Pallas kernels (which define no AD
     rule): the discrete winner is treated as locally constant — exact
@@ -374,11 +375,14 @@ def _mt_winner_xla(idxc, live, normals, ro_c, rd_c, tri_comps):
     and the continuous outputs (t, u, v[, interpolated world normal,
     smooth_triangle.rs:99-101]) are recomputed as a plain elementwise
     chain so jax.vjp pulls cotangents back to the ray components AND the
-    triangle tables (the gather transposes to a scatter-add, so mesh
-    geometry itself is differentiable). `idxc`/`live` are closed-over
-    constants; miss rays carry idx 0 (a real triangle), so every gathered
-    value is finite and masked cotangents stay NaN-free."""
-    g = lambda k: tri_comps[k][idxc]
+    gathered triangle values. The caller routes those back to the [T]
+    tables with `_winner_segment_sum` — letting jax.vjp transpose a
+    per-element gather instead would emit 18 XLA scatter-adds, which ran
+    at ~1 element/cycle and were 40 of the 41.7 ms config4 backward.
+    `live` is a closed-over constant; miss rays carry idx 0 (a real
+    triangle), so every gathered value is finite and masked cotangents
+    stay NaN-free."""
+    g = lambda k: gathered[k]
     ox, oy, oz = ro_c
     dx, dy, dz = rd_c
     p1x, p1y, p1z = g(0), g(1), g(2)
@@ -431,10 +435,47 @@ def _kernel_closest_fwd(static, ro_c, rd_c, tri_comps, t_init, aux):
     return outs, (ro_c, rd_c, tri_comps, outs[0], outs[3], t_init, aux)
 
 
+def _winner_segment_sum(cts, idx, T):
+    """Sum per-ray cotangent rows into per-triangle rows WITHOUT XLA
+    scatter: d_tbl[k][t] = sum over rays r with idx[r] == t of cts[k][r],
+    computed as chunked one-hot matmuls on the MXU.
+
+    The transpose of the per-element winner gather is a scatter-add,
+    which TPUs execute at ~1 element/cycle — measured as 40 of the
+    41.7 ms config4 mesh backward (round-5 bisection). A [CH, T] one-hot
+    times the [K, CH] cotangent block is exact (0/1 weights select), and
+    Precision.HIGHEST keeps the f32 cotangents unshaved (the default MXU
+    precision truncates operands to bf16 — see CLAUDE.md)."""
+    K = len(cts)
+    R = cts[0].shape[0]
+    dtype = cts[0].dtype
+    g = jnp.stack(cts)                       # [K, R]
+    CH = min(16384, -(-R // 8) * 8)
+    pad = (-R) % CH
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad)))
+        # Out-of-range index -> all-zero one-hot row (padding drops out).
+        idx = jnp.pad(idx, (0, pad), constant_values=T)
+    n = (R + pad) // CH
+    gs = jnp.moveaxis(g.reshape(K, n, CH), 1, 0)   # [n, K, CH]
+    ids = idx.reshape(n, CH)
+    tt = jnp.arange(T, dtype=idx.dtype)
+
+    def body(acc, xs):
+        gc, ic = xs
+        onehot = (ic[:, None] == tt[None, :]).astype(dtype)
+        return acc + jax.lax.dot(gc, onehot,
+                                 precision=jax.lax.Precision.HIGHEST), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((K, T), dtype), (gs, ids))
+    return tuple(acc[k] for k in range(K))
+
+
 def _kernel_closest_bwd(static, res, cts):
     ro_c, rd_c, tri_comps, t, idx, t_init, aux = res
     normals = len(tri_comps) == 18
-    idxc = jnp.clip(idx, 0, tri_comps[0].shape[0] - 1)
+    T = tri_comps[0].shape[0]
+    idxc = jnp.clip(idx, 0, T - 1)
     live = jnp.isfinite(t)
     mask = lambda ct: jnp.where(live, ct, 0.0)
     # Output order: (t, u, v, idx[int], [nx, ny, nz], *aux) — the int
@@ -443,10 +484,16 @@ def _kernel_closest_bwd(static, res, cts):
     prim_cts = (mask(cts[0]), mask(cts[1]), mask(cts[2]))
     if normals:
         prim_cts += tuple(mask(c) for c in cts[4:7])
+    # Winner components via ONE row gather of the stacked [T, K] table
+    # (~2 ns/index) instead of K per-element gathers (~12.7 ns/index
+    # each); their cotangents return via the matmul segment-sum.
+    rows = jnp.take(jnp.stack(tri_comps, axis=1), idxc, axis=0)
+    gathered = tuple(rows[:, k] for k in range(len(tri_comps)))
     _, vjp = jax.vjp(
-        functools.partial(_mt_winner_xla, idxc, live, normals),
-        ro_c, rd_c, tri_comps)
-    d_ro, d_rd, d_tri = vjp(prim_cts)
+        functools.partial(_mt_winner_xla, live, normals),
+        ro_c, rd_c, gathered)
+    d_ro, d_rd, d_g = vjp(prim_cts)
+    d_tri = _winner_segment_sum(d_g, idxc, T)
     d_tinit = None if t_init is None else jnp.zeros_like(t_init)
     d_aux = tuple(jnp.zeros_like(a) for a in aux)
     return d_ro, d_rd, d_tri, d_tinit, d_aux

@@ -173,7 +173,7 @@ def _traverse_kernel(Lp, leaf, any_hit, normals, n_aux,
         nx_ref, ny_ref, nz_ref = refs[:3]
         del refs[:3]
     aux_refs = refs[:n_aux]
-    tri_vmem, sem, stack = refs[n_aux:]
+    buf0, buf1, sem0, sem1, stack = refs[n_aux:]
     aux_base = 18 if normals else 9
     # Rays stay in lanes; [1, BR] rows broadcast along sublanes for free.
     ox = rox[0, :][None, :]
@@ -198,12 +198,18 @@ def _traverse_kernel(Lp, leaf, any_hit, normals, n_aux,
     for ar in aux_refs:
         ar[0, :] = jnp.zeros((R,), jnp.float32)
 
-    def mt_leaf(ci):
-        """DMA leaf ci's triangles HBM->VMEM, fold its closest hits."""
-        dma = pltpu.make_async_copy(
-            tri_hbm.at[pl.ds(ci * leaf, leaf), :], tri_vmem, sem)
-        dma.start()
-        dma.wait()
+    def leaf_dma(ci, buf, sem):
+        """The async copy descriptor for leaf ci -> VMEM buffer `buf`
+        (recreated identically at start and wait time)."""
+        return pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(ci * leaf, leaf), :], buf, sem)
+
+    def mt_leaf(ci, tri_vmem):
+        """Fold leaf ci's closest hits from its already-copied VMEM
+        buffer (the DMA was started when the leaf was ENTERED and is
+        waited by the caller — the fold of the PREVIOUS leaf overlaps
+        this leaf's copy, hiding the HBM latency that BASELINE.md
+        diagnosed as the traversal bottleneck)."""
         col = lambda k: tri_vmem[:, k][:, None]   # [leaf, 1] native
         tp1x, tp1y, tp1z = col(0), col(1), col(2)
         te1x, te1y, te1z = col(3), col(4), col(5)
@@ -268,11 +274,19 @@ def _traverse_kernel(Lp, leaf, any_hit, normals, n_aux,
             ar[0, :] = jnp.where(better, take(col(aux_base + k)), ar[0, :])
 
     def cond(c):
-        sp, done = c
+        sp, done, _, _ = c
         return (sp > 0) & ~done
 
     def step(c):
-        sp, _ = c
+        """Traversal step with a one-leaf software pipeline: entering a
+        leaf STARTS its DMA into the parity buffer and folds the
+        PREVIOUS (pending) leaf from the other buffer, so each leaf's
+        HBM copy overlaps the previous leaf's Möller–Trumbore fold.
+        Fold order stays leaf-visit order (only deferred by one), so the
+        strict-< tie-breaking is unchanged; the cull merely sees best-t
+        one fold late, which can only ADMIT an extra leaf, never drop
+        one."""
+        sp, _, pend, par = c
         n = stack[sp - 1]
         sp = sp - 1
         # Node boxes live in SMEM: dynamic scalar reads are legal there
@@ -295,21 +309,56 @@ def _traverse_kernel(Lp, leaf, any_hit, normals, n_aux,
 
         sp = sp + jnp.where(enter_any & ~is_leaf, 2, 0)
 
-        @pl.when(enter_any & is_leaf)
+        hit_leaf = enter_any & is_leaf
+
+        @pl.when(hit_leaf & (par == 0))
         def _():
-            mt_leaf(n - Lp)
+            leaf_dma(n - Lp, buf0, sem0).start()
+
+        @pl.when(hit_leaf & (par == 1))
+        def _():
+            leaf_dma(n - Lp, buf1, sem1).start()
+
+        # Pending leaf sits in the OTHER buffer (par flipped when it was
+        # started); wait its copy and fold it while the new copy flies.
+        @pl.when(hit_leaf & (pend > 0) & (par == 1))
+        def _():
+            leaf_dma(pend - 1, buf0, sem0).wait()
+            mt_leaf(pend - 1, buf0)
+
+        @pl.when(hit_leaf & (pend > 0) & (par == 0))
+        def _():
+            leaf_dma(pend - 1, buf1, sem1).wait()
+            mt_leaf(pend - 1, buf1)
+
+        pend = jnp.where(hit_leaf, n - Lp + 1, pend)
+        par = jnp.where(hit_leaf, 1 - par, par)
 
         if any_hit:
             # limit <= 0 marks padding rays as already satisfied so they
-            # can't block the block-level early exit.
+            # can't block the block-level early exit. (The pending
+            # leaf's hits land one step late; the drain below catches
+            # the final fold.)
             done = jnp.all((t_ref[0, :] < limit) | (limit <= 0.0))
         else:
             done = jnp.asarray(False)
-        return (sp, done)
+        return (sp, done, pend, par)
 
     stack[0] = 1
-    jax.lax.while_loop(cond, step,
-                       (jnp.asarray(1, jnp.int32), jnp.asarray(False)))
+    _, _, pend, par = jax.lax.while_loop(
+        cond, step, (jnp.asarray(1, jnp.int32), jnp.asarray(False),
+                     jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
+
+    # Drain: the last entered leaf is still pending.
+    @pl.when((pend > 0) & (par == 1))
+    def _():
+        leaf_dma(pend - 1, buf0, sem0).wait()
+        mt_leaf(pend - 1, buf0)
+
+    @pl.when((pend > 0) & (par == 0))
+    def _():
+        leaf_dma(pend - 1, buf1, sem1).wait()
+        mt_leaf(pend - 1, buf1)
 
 
 @functools.partial(jax.jit,
@@ -349,10 +398,10 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None, aux=None,
     # with it (leaf x 512 B); assert that secondary budget explicitly
     # rather than failing opaquely inside Mosaic.
     leaf = auto_leaf(tri_comps[0].shape[0], leaf, max_leaves)
-    assert leaf * 512 <= 8 * 1024 * 1024, (
-        f"auto-raised leaf {leaf} needs {leaf * 512} B of VMEM scratch; "
-        f"mesh of {tri_comps[0].shape[0]} triangles exceeds the kernel's "
-        f"budget — split the mesh")
+    assert 2 * leaf * 512 <= 8 * 1024 * 1024, (
+        f"auto-raised leaf {leaf} needs {2 * leaf * 512} B of VMEM "
+        f"scratch (double-buffered); mesh of {tri_comps[0].shape[0]} "
+        f"triangles exceeds the kernel's budget — split the mesh")
     packed, nlo, nhi, Lp = build_tree(
         tri_comps[0:3], tri_comps[3:6], tri_comps[6:9],
         normals=tri_comps[9:18] if normals else None, aux=aux, leaf=leaf)
@@ -393,7 +442,11 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None, aux=None,
         out_specs=(out_spec,) * n_out,
         out_shape=out_shapes,
         scratch_shapes=[
+            # Double-buffered leaf scratch: leaf N+1's DMA overlaps
+            # leaf N's fold (one semaphore per buffer).
             pltpu.VMEM((leaf, packed.shape[1]), jnp.float32),
+            pltpu.VMEM((leaf, packed.shape[1]), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SMEM((STACK,), jnp.int32),
         ],

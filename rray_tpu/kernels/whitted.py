@@ -57,6 +57,11 @@ _EPS_OFF = 1e-3
 _TOL = 1e-4
 
 CHEAP_PATTERNS = ("solid", "stripe", "gradient", "ring", "checker", "blend")
+# Fusable pattern node types: the cheap combinators plus in-kernel Perlin
+# (noise/perturbed — ops/noise.py is pure int32/f32 math that Mosaic
+# lowers) and image leaves (sampled OUTSIDE the kernel via the affine
+# texture-completion contract — see `textured` in whitted_compact).
+KERNEL_PATTERNS = CHEAP_PATTERNS + ("noise", "perturbed", "image")
 
 
 def _tree_cheap(node) -> bool:
@@ -66,22 +71,50 @@ def _tree_cheap(node) -> bool:
         and _tree_cheap(node.b)
 
 
+def _tree_fusable(node) -> bool:
+    if node is None:
+        return True
+    return node.ptype in KERNEL_PATTERNS and _tree_fusable(node.a) \
+        and _tree_fusable(node.b)
+
+
+def _n_images(node) -> int:
+    if node is None:
+        return 0
+    return int(node.ptype == "image") + _n_images(node.a) + _n_images(node.b)
+
+
+def scene_textured(scene) -> bool:
+    """Does any pattern tree hold an image leaf? (static)"""
+    return any(_n_images(p) for p in scene.patterns)
+
+
 def applicable(scene, settings, dtype) -> bool:
     """Can this scene's Whitted evaluation run as the fused kernel?
 
     Covers the fast path (no CSG/transparency — width-1 reflection
     chain), the transparency chain, and the compact wavefront; point
     AND area lights (area jitter is the point-keyed hash of
-    ops/jitter.py, recomputed in-register); and triangle meshes on the
+    ops/jitter.py, recomputed in-register); triangle meshes on the
     depth-0 point-light path (scalar-broadcast Möller–Trumbore over an
     SMEM table — see MESH_MAX_TRIS for the budget and the gating
-    rationale)."""
+    rationale); tori (Mosaic-safe quartic, soa._torus_slots_nocond);
+    CSG over analytic members (the static pairwise-parity filter of
+    soa.csg_keeps, traced in-register); and Perlin noise / perturbed
+    patterns. Image patterns fuse on the depth-0 path only: the kernel
+    emits (u, v, pattern root, multiplier) per ray and the caller adds
+    `texel * multiplier` — exact because every pattern combinator and
+    the Phong base-color path are affine in the image leaf's value."""
     from ..ops import soa
 
+    if scene.csg_ops and (not soa.csg_members_analytic(scene)
+                          or scene.has_transparent):
+        # Mesh-in-CSG needs the full sorted slot list; CSG +
+        # transparency needs the FILTERED slots in the n1/n2 walk —
+        # both are sorted-path semantics the kernel doesn't carry.
+        return False
     if not soa._use_pallas(settings, dtype):
         return False
-    if scene.csg_ops or scene.counts[5]:
-        return False  # CSG / torus: XLA wavefront
     if scene.counts[6]:
         # Mesh gating: the SMEM table bounds T; bounce chains would
         # replicate the unrolled triangle fold per level (compile blow-
@@ -96,7 +129,7 @@ def applicable(scene, settings, dtype) -> bool:
             return False
         if len(_tri_groups(scene)[1]) > 8:
             return False  # material/pattern selects unroll per group
-    if not all(k in OCCLUSION_KINDS or k == sd.TRIANGLE
+    if not all(k in OCCLUSION_KINDS or k in (sd.TRIANGLE, sd.TORUS)
                for k in scene.prim_kinds):
         return False
     n_analytic = sum(k != sd.TRIANGLE for k in scene.prim_kinds)
@@ -104,7 +137,22 @@ def applicable(scene, settings, dtype) -> bool:
         return False
     if not all(light.kind in ("point", "area") for light in scene.lights):
         return False
-    return all(_tree_cheap(p) for p in scene.patterns)
+    if not all(_tree_fusable(p) for p in scene.patterns):
+        return False
+    if scene_textured(scene):
+        # Texture completion is wired for the single-node (depth-0)
+        # case; one image leaf per tree keeps the (u, v, root) contract
+        # one-slot; textured meshes would need in-kernel barycentric uv.
+        if scene.has_reflective or scene.has_transparent:
+            return False
+        if any(_n_images(p) > 1 for p in scene.patterns):
+            return False
+        for pid, kind in enumerate(scene.prim_kinds):
+            pat = scene.prim_pattern_static[pid]
+            if kind == sd.TRIANGLE and pat < len(scene.patterns) \
+                    and _n_images(scene.patterns[pat]):
+                return False
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -116,7 +164,7 @@ def applicable(scene, settings, dtype) -> bool:
 # 12-20  normal matrix [3,3] (object normal -> world, unnormalized)
 # 21     ymin   22 ymax   23 closed
 # 24 ambient  25 diffuse  26 specular  27 shininess
-# 28 reflective  29 transparency  30 ior   31 pad
+# 28 reflective  29 transparency  30 ior   31 torus minor radius
 P_COLS = 32
 
 
@@ -141,16 +189,18 @@ def pack_prims(scene):
             r[sd.CLS_REFLECTIVE:sd.CLS_REFLECTIVE + 1],
             r[sd.CLS_TRANSPARENCY:sd.CLS_TRANSPARENCY + 1],
             r[sd.CLS_IOR:sd.CLS_IOR + 1],
-            jnp.zeros((1,), jnp.float32),
+            r[sd.CLS_TORR:sd.CLS_TORR + 1],
         ]))
     return jnp.stack(rows)
 
 
 def pack_patterns(scene):
-    """Flatten every (cheap) pattern tree into one [N, 16] f32 table
-    plus static per-root descriptors (ptype, row, a_descr, b_descr).
+    """Flatten every fusable pattern tree into one [N, 17] f32 table
+    plus static per-root descriptors (ptype, row, octaves, a_descr,
+    b_descr).
 
-    Node row layout: 0-11 inv affine [3,4], 12-14 color, 15 scale."""
+    Node row layout: 0-11 inv affine [3,4], 12-14 color, 15 scale,
+    16 persistence."""
     rows = []
     descrs = []
 
@@ -162,12 +212,24 @@ def pack_patterns(scene):
             node.inv.reshape(12).astype(jnp.float32),
             node.color.reshape(3).astype(jnp.float32),
             jnp.asarray(node.scale, jnp.float32).reshape(1),
+            jnp.asarray(node.persistence, jnp.float32).reshape(1),
         ]))
-        return (node.ptype, idx, walk(node.a), walk(node.b))
+        return (node.ptype, idx, int(node.octaves), walk(node.a),
+                walk(node.b))
 
     for root in scene.patterns:
         descrs.append(walk(root))
     return jnp.stack(rows), tuple(descrs)
+
+
+def csg_meta(scene):
+    """Static CSG descriptor: (per-prim member flags, innermost-first
+    (op, per-prim side tuple) list) — feeds soa.csg_keeps in-kernel."""
+    if not scene.csg_ops:
+        return ((), ())
+    return (tuple(scene.csg_member_static),
+            tuple((op, tuple(scene.csg_side_static[ci]))
+                  for ci, op in enumerate(scene.csg_ops)))
 
 
 def pack_lights(scene):
@@ -314,7 +376,8 @@ def _nmat_vec(p, v: V3) -> V3:
 
 def _prim_slots(kind, p, o: V3, d: V3):
     """This prim's hit slots on the OBJECT-space ray (ops/soa.py forms,
-    traced verbatim so local_intersect quirks cannot drift)."""
+    traced verbatim so local_intersect quirks cannot drift; the torus
+    uses the cond-free Mosaic-safe quartic)."""
     from ..ops import soa
     if kind == sd.SPHERE:
         return soa._sphere_slots(o, d)
@@ -326,6 +389,8 @@ def _prim_slots(kind, p, o: V3, d: V3):
         return soa._cylinder_slots(o, d, p(21), p(22), p(23) != 0.0)
     if kind == sd.CONE:
         return soa._cone_slots(o, d, p(21), p(22), p(23) != 0.0)
+    if kind == sd.TORUS:
+        return soa._torus_slots_nocond(o, d, p(31))
     raise AssertionError(kind)  # pragma: no cover — applicable() gates
 
 
@@ -344,6 +409,12 @@ def _local_normal(kind, p, lp: V3) -> V3:
         return V3(jnp.where(maxc == ax, x, zero),
                   jnp.where((maxc != ax) & (maxc == ay), y, zero),
                   jnp.where((maxc != ax) & (maxc != ay), z, zero))
+    if kind == sd.TORUS:
+        r = p(31)
+        ss = x * x + y * y + z * z
+        ps = 1.0 + r * r
+        return V3(4.0 * x * (ss - ps), 4.0 * y * (ss - ps),
+                  4.0 * z * (ss - ps + 2.0))
     cmin, cmax = p(21), p(22)
     dist = x * x + z * z
     top = (dist < 1.0) & (y >= cmax - EPSILON)
@@ -358,24 +429,197 @@ def _local_normal(kind, p, lp: V3) -> V3:
               jnp.where(top | bot, zero, z))
 
 
-def _eval_pattern(descr, pat, pts: V3) -> V3:
-    """shade_soa.eval_pattern for the cheap types, SMEM coefficients."""
-    ptype, idx, da, db = descr
+def _uv_kind(kind, p, pts: V3):
+    """The winner kind's uv_mapping on pattern-space points
+    (shade_soa.uv_at formulas; kmath supplies Mosaic-safe atan2/acos).
+    `kind` is STATIC — pattern trees are per-prim, so the image leaf's
+    uv is evaluated under a known shape kind."""
+    from ..ops import kmath
+    x, y, z = pts.x, pts.y, pts.z
+    pi = jnp.pi
+    if kind == sd.SPHERE:
+        theta = kmath.atan2(z, x)
+        rr = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+        phi = kmath.arccos(jnp.clip(y / rr, -1.0, 1.0))
+        return (theta + pi) / (2.0 * pi), 1.0 - phi / pi
+    if kind == sd.PLANE:
+        return jnp.mod(x, 1.0), jnp.mod(z, 1.0)
+    if kind == sd.CUBE:
+        ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+        fx = (ax >= ay) & (ax >= az)
+        fy = ~fx & (ay >= ax) & (ay >= az)
+        ur = jnp.where(x > 0, (z + 1.0) * 0.5, (1.0 - z) * 0.5)
+        uy = (x + 1.0) * 0.5
+        vy = jnp.where(y > 0, (1.0 - z) * 0.5, (z + 1.0) * 0.5)
+        uz = jnp.where(z > 0, (x + 1.0) * 0.5, (1.0 - x) * 0.5)
+        uu = jnp.where(fx, ur, jnp.where(fy, uy, uz))
+        vv = jnp.where(fy, vy, (y + 1.0) * 0.5)
+        return uu, vv
+    if kind == sd.CYLINDER:
+        cmin, cmax = p(21), p(22)
+        cap = (p(23) != 0.0) & ((y <= cmin) | (y >= cmax))
+        theta = kmath.atan2(z, x)
+        uu = jnp.where(cap, (x + 1.0) / 2.0, (theta + pi) / (2.0 * pi))
+        vv = jnp.where(cap, (z + 1.0) / 2.0, jnp.mod(y, 1.0))
+        return uu, vv
+    if kind == sd.CONE:
+        cmin, cmax = p(21), p(22)
+        cap = (p(23) != 0.0) & ((jnp.abs(y - cmin) <= EPSILON)
+                                | (jnp.abs(y - cmax) <= EPSILON))
+        radius = jnp.maximum(jnp.abs(y), 1e-30)
+        theta = (kmath.atan2(z, x) + pi) / (2.0 * pi)
+        height = jnp.where(jnp.abs(cmax - cmin) < 1e-30, 1e-30,
+                           cmax - cmin)
+        uu = jnp.where(cap, (x / radius + 1.0) / 2.0, (y - cmin) / height)
+        vv = jnp.where(cap, (z / radius + 1.0) / 2.0, theta)
+        return uu, vv
+    # torus (torus.rs:150-161)
+    uu = (kmath.atan2(y, x) + pi) / (2.0 * pi)
+    dist = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-30)) - 1.0
+    vv = (kmath.atan2(z, dist) + pi) / (2.0 * pi)
+    return uu, vv
+
+
+def _descr_has_image(descr) -> bool:
+    if descr is None:
+        return False
+    return descr[0] == "image" or _descr_has_image(descr[3]) \
+        or _descr_has_image(descr[4])
+
+
+def _descr_expensive(descr) -> bool:
+    """Perlin octaves / image-uv trees worth a pl.when block skip (the
+    same trees shade_soa.pattern_at cond-skips per tile in XLA)."""
+    if descr is None:
+        return False
+    return descr[0] in ("noise", "perturbed", "image") \
+        or _descr_expensive(descr[3]) or _descr_expensive(descr[4])
+
+
+def _torus_slots_guarded(p, o: V3, d: V3, trefs):
+    """soa._torus_slots_nocond with the quartic under a block-level
+    pl.when on its AABB gate: a 512-ray block that never reaches the
+    torus's box skips the ~400-op Ferrari+Newton solve entirely
+    (ablation: the unconditional quartic was 0.9 ms of the 5.6 ms
+    config5 frame — tori are screen-local). Roots/valids round-trip
+    through 8 scratch tiles because pl.when bodies cannot return values;
+    blocks that skip read the zero init = no valid slots, which is
+    exactly what the gate proves."""
+    from ..ops import quartic as q
+    minor_r = p(31)
+    pad = 1e-3
+    rx = 1.0 + minor_r + pad
+    rz = minor_r + pad
+
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) < 1e-30,
+                               jnp.where(c < 0, -1e-30, 1e-30), c)
+
+    ivx, ivy, ivz = inv(d.x), inv(d.y), inv(d.z)
+    tx1 = (-rx - o.x) * ivx
+    tx2 = (rx - o.x) * ivx
+    ty1 = (-rx - o.y) * ivy
+    ty2 = (rx - o.y) * ivy
+    tz1 = (-rz - o.z) * ivz
+    tz2 = (rz - o.z) * ivz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                   jnp.minimum(ty1, ty2)),
+                       jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                   jnp.maximum(ty1, ty2)),
+                       jnp.maximum(tz1, tz2))
+    enter = (tmin <= tmax) & (tmax >= 0.0)
+    zero = jnp.zeros_like(o.x)
+    # Only the validity refs need init: consumers mask t through
+    # where(valid & ..., t, _INF), so skipped blocks' stale root values
+    # are never read.
+    for ref in trefs[4:]:
+        ref[...] = zero
+
+    @pl.when(jnp.any(enter))
+    def _():
+        r_sq = minor_r * minor_r
+        sum_d_sq = d.dot(d)
+        e = o.dot(o) - r_sq + 1.0
+        f = o.dot(d)
+        a4 = sum_d_sq * sum_d_sq
+        a3 = 4.0 * sum_d_sq * f
+        a2 = (2.0 * sum_d_sq * e + 4.0 * f * f
+              - 4.0 * (d.x * d.x + d.y * d.y))
+        a1 = 4.0 * e * f - 8.0 * (o.x * d.x + o.y * d.y)
+        a0 = e * e - 4.0 * (o.x * o.x + o.y * o.y)
+        roots, valids = q.solve_quartic_parts(a4, a3, a2, a1, a0,
+                                              safe_transcendentals=True)
+        for k in range(4):
+            trefs[k][...] = roots[k]
+            trefs[4 + k][...] = (valids[k] & (roots[k] > 0.0)
+                                 & enter).astype(o.x.dtype)
+
+    return [(trefs[k][...], trefs[4 + k][...] != 0.0) for k in range(4)]
+
+
+def _eval_pattern_tex(descr, pat, pts: V3, uv_fn):
+    """shade_soa.eval_pattern, SMEM coefficients, extended with the
+    affine texture-completion contract.
+
+    Returns (color V3, coeff, u, v) where coeff/u/v are None for
+    image-free subtrees (static). Every pattern combinator is AFFINE in
+    its children's color values with channel-independent weights
+    (selects, lerps, blends, +-noise scaling), so a tree with one image
+    leaf evaluates exactly as `color0 + coeff * texel`: color0 is the
+    tree with the leaf at 0 and coeff is the accumulated scalar weight
+    along the leaf's path. (u, v) is the winner-shape uv of the leaf's
+    pattern-space point (pattern.rs:209-213), routed up statically —
+    applicable() caps trees at one image leaf."""
+    from ..ops import noise as fnl
+    ptype, idx, octaves, da, db = descr
     g = lambda k: pat[idx, k]
     if ptype == "solid":
         like = jnp.ones_like(pts.x)
-        return V3(g(12) * like, g(13) * like, g(14) * like)
+        return V3(g(12) * like, g(13) * like, g(14) * like), None, None, \
+            None
     p = V3(g(0) * pts.x + g(1) * pts.y + g(2) * pts.z + g(3),
            g(4) * pts.x + g(5) * pts.y + g(6) * pts.z + g(7),
            g(8) * pts.x + g(9) * pts.y + g(10) * pts.z + g(11))
-    a = _eval_pattern(da, pat, p)
-    b = _eval_pattern(db, pat, p)
+    if ptype == "image":
+        uu, vv = uv_fn(p)
+        z = jnp.zeros_like(p.x)
+        return V3(z, z, z), jnp.ones_like(p.x), uu, vv
+    if ptype == "perturbed":
+        sc = g(15)
+        per = g(16)
+        nx = fnl.octave_perlin(p.x, p.y, p.z, octaves, per) * sc
+        ny = fnl.octave_perlin(p.x, p.y, p.z + 1.0, octaves, per) * sc
+        nz = fnl.octave_perlin(p.x, p.y, p.z + 2.0, octaves, per) * sc
+        return _eval_pattern_tex(da, pat, p + V3(nx, ny, nz), uv_fn)
+    a, ca, ua, va = _eval_pattern_tex(da, pat, p, uv_fn)
+    b, cb, ub, vb = _eval_pattern_tex(db, pat, p, uv_fn)
+    uu = ua if ua is not None else ub
+    vv = va if va is not None else vb
+
+    def combine(wa, wb):
+        """coeff under affine child weights (None coeff = statically 0)."""
+        if ca is None and cb is None:
+            return None
+        out = ca * wa if ca is not None else jnp.zeros_like(pts.x)
+        if cb is not None:
+            out = out + cb * wb
+        return out
+
     if ptype == "gradient":
         frac = p.x - jnp.floor(p.x)
-        return a + (b - a) * frac
+        return a + (b - a) * frac, combine(1.0 - frac, frac), uu, vv
     if ptype == "blend":
         s = g(15)
-        return a * (1.0 - s) + b * s
+        return a * (1.0 - s) + b * s, combine(1.0 - s, s), uu, vv
+    if ptype == "noise":
+        n = fnl.octave_perlin(p.x, p.y, p.z, octaves, g(16)) * g(15)
+        neg = n <= 0.0
+        col = V3(jnp.where(neg, a.x * -n, b.x * n),
+                 jnp.where(neg, a.y * -n, b.y * n),
+                 jnp.where(neg, a.z * -n, b.z * n))
+        negf = neg.astype(n.dtype)
+        return col, combine(-n * negf, n * (1.0 - negf)), uu, vv
     if ptype == "stripe":
         cond = jnp.mod(jnp.floor(p.x), 2.0) == 0.0
     elif ptype == "ring":
@@ -384,8 +628,16 @@ def _eval_pattern(descr, pat, pts: V3) -> V3:
     else:  # checker
         cond = jnp.mod(jnp.floor(p.x) + jnp.floor(p.y) + jnp.floor(p.z),
                        2.0) == 0.0
-    return V3(jnp.where(cond, a.x, b.x), jnp.where(cond, a.y, b.y),
-              jnp.where(cond, a.z, b.z))
+    condf = cond.astype(pts.x.dtype)
+    col = V3(jnp.where(cond, a.x, b.x), jnp.where(cond, a.y, b.y),
+             jnp.where(cond, a.z, b.z))
+    return col, combine(condf, 1.0 - condf), uu, vv
+
+
+def _eval_pattern(descr, pat, pts: V3) -> V3:
+    """Color-only pattern eval (image-free trees)."""
+    col, _, _, _ = _eval_pattern_tex(descr, pat, pts, None)
+    return col
 
 
 def _tile_inv(c):
@@ -532,31 +784,41 @@ def _mesh_occludes(Tp, tris, boxes, over: V3, sx, sy, sz, dist, occ_ref,
                 occ_ref[...] = occ.astype(jnp.float32)
 
 
-def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
-              has_refr, prims, pat, lights, seeds, o: V3, d: V3,
-              mesh_ctx=None):
+def _node_row(kinds, pat_descrs, prim_pat, lmeta, cmeta, textured, level,
+              has_refl, has_refr, prims, pat, lights, seeds, o: V3, d: V3,
+              mesh_ctx=None, prefs=None, trefs=None):
     """One Whitted node over a ray row — the in-register transcript of
-    integrator._sorted_node_eval / _fast_node_eval for analytic non-CSG
-    scenes. `lmeta` is the static per-light (kind, level) tuple; area
-    shadow fractions run the full level^2 jittered-sample loop with the
-    point-keyed hash draws of ops/jitter.py (bit-identical to the XLA
-    loop's) seeded from seeds[level, light] (SMEM — the XLA fold_in
-    chain evaluated host-side). `mesh_ctx` = (Tp, pids, tris, boxes,
-    mrefs, occ_ref) activates the fused triangle fold (closest hit,
-    interpolated normals, shadow any-hit) for mesh scenes.
+    integrator._sorted_node_eval / _fast_node_eval. `lmeta` is the
+    static per-light (kind, level) tuple; area shadow fractions run the
+    full level^2 jittered-sample loop with the point-keyed hash draws of
+    ops/jitter.py (bit-identical to the XLA loop's) seeded from
+    seeds[level, light] (SMEM — the XLA fold_in chain evaluated
+    host-side). `mesh_ctx` = (Tp, pids, tris, boxes, mrefs, occ_ref)
+    activates the fused triangle fold (closest hit, interpolated
+    normals, shadow any-hit) for mesh scenes. `cmeta` = (per-prim
+    member flags, (op, sides) list) activates the in-register CSG
+    parity filter (soa.csg_keeps) on closest hits AND shadow segments
+    (any_hit_hybrid semantics, scene.rs:234-245 over csg.rs:177-195).
 
-    Returns (surface, over, under, reflectv, refr_dir, refl_w, refr_w).
-    """
+    Returns (surface, over, under, reflectv, refr_dir, refl_w, refr_w,
+    tex) where tex is None or (texmul V3, u, v, root) — the affine
+    texture-completion channels (see applicable())."""
     from ..ops import jitter as jt
+    from ..ops import soa
     P = len(kinds)
     reader = lambda i: (lambda k, i=i: prims[i, k])
     false = jnp.zeros_like(o.x, bool)
+    member_flags, ops_sides = cmeta if cmeta and cmeta[0] else ((), ())
 
-    # --- closest hit: same fold order as soa.closest_hit_soa (strict <
-    # keeps the earlier prim on ties; triangle prims fold afterwards
-    # like its mesh-kernel merge). Object-space rays and slots are kept
-    # for the n1/n2 crossing folds below — the fusion the XLA path
-    # can't do without materializing [K, R] slot buffers.
+    def is_member(i):
+        return bool(member_flags[i]) if i < len(member_flags) else False
+
+    # --- closest hit: same fold order as soa.closest_hit_soa /
+    # closest_hit_hybrid (strict < keeps the earlier prim on ties;
+    # triangle prims fold after the analytic non-members, CSG members
+    # last — exactly the hybrid merge order). Object-space rays and
+    # slots are kept for the n1/n2 crossing folds below — the fusion
+    # the XLA path can't do without materializing [K, R] slot buffers.
     slots_per_prim = []
     best_t = jnp.full_like(o.x, _INF)
     win = []  # one-hot winner masks per prim
@@ -568,14 +830,24 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
         p = reader(i)
         ol = _affine_pt(p, 0, o)
         dl = _affine_vec(p, 0, d)
-        slots = _prim_slots(kind, p, ol, dl)
+        if kind == sd.TORUS and trefs is not None:
+            slots = _torus_slots_guarded(p, ol, dl, trefs)
+        else:
+            slots = _prim_slots(kind, p, ol, dl)
         slots_per_prim.append(slots)
+        if is_member(i):
+            win = win + [false]  # folded after the CSG filter below
+            continue
         tp = jnp.full_like(o.x, _INF)
         for t, valid in slots:
             tp = jnp.minimum(tp, jnp.where(valid & (t >= 0.0), t, _INF))
         better = tp < best_t
         best_t = jnp.where(better, tp, best_t)
         win = [w & ~better for w in win] + [better]
+        win[i] = better  # list append order == prim order
+    # Rebuild as a dense per-prim list (members/triangles were skipped).
+    while len(win) < P:
+        win.append(false)
     analytic = [i for i, k in enumerate(kinds) if k != sd.TRIANGLE]
 
     if mesh_ctx is not None:
@@ -591,6 +863,30 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
         m_gid = mrefs[4][...]
     else:
         mesh_win = None
+
+    def member_filtered(slot_lists):
+        """(ts, pids, keeps) of CSG-member slots under soa.csg_keeps."""
+        m_ts, m_pids, m_valids = [], [], []
+        for i, kind in enumerate(kinds):
+            if not is_member(i):
+                continue
+            for t, valid in slot_lists[i]:
+                m_ts.append(t)
+                m_pids.append(i)
+                m_valids.append(valid)
+        ops_and_sides = tuple((op, tuple(srow[pid] for pid in m_pids))
+                              for op, srow in ops_sides)
+        return m_ts, m_pids, soa.csg_keeps(m_ts, m_valids, ops_and_sides)
+
+    if member_flags and any(member_flags):
+        m_ts, m_pids, m_keeps = member_filtered(slots_per_prim)
+        for t, pid_i, keep in zip(m_ts, m_pids, m_keeps):
+            cand = keep & (t >= 0.0) & (t < best_t)
+            best_t = jnp.where(cand, t, best_t)
+            win = [w & ~cand for w in win]
+            win[pid_i] = win[pid_i] | cand
+            if mesh_win is not None:
+                mesh_win = mesh_win & ~cand
     found = jnp.isfinite(best_t)
     t_safe = jnp.where(found, best_t, 0.0)
     point = o + d * t_safe
@@ -675,8 +971,81 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
         n1 = n2 = jnp.ones_like(o.x)
 
     # --- pattern at over (winner's static tree on ITS object space).
-    base = sel3(lambda i: _eval_pattern(pat_descrs[prim_pat[i]], pat,
-                                        _affine_pt(reader(i), 0, over)))
+    # Textured trees additionally yield (coeff, u, v) — the affine
+    # texture-completion channels, winner-selected like the color.
+    # Cheap trees evaluate in REGISTERS; expensive trees (Perlin
+    # octaves, image uv) evaluate under a block-level pl.when on the
+    # prim's winner mask — patterns are screen-local, so most blocks
+    # skip them entirely (the in-kernel analog of
+    # shade_soa.pattern_at's per-tile lax.cond). Only the when-gated
+    # values round-trip through the `prefs` scratch tiles (pl.when
+    # bodies cannot return values; routing EVERY prim through scratch
+    # measured ~1 ms of read-modify-write VMEM traffic per 1080p
+    # frame).
+    zeroR_ = jnp.zeros_like(o.x)
+    coeff = tex_u = tex_v = tex_root = None
+    bx = by = bz = zeroR_
+    if textured:
+        coeff = zeroR_
+        tex_u = zeroR_
+        tex_v = zeroR_
+        tex_root = zeroR_ - 1.0
+
+    def eval_prim(i):
+        pr = reader(i)
+        pp = _affine_pt(pr, 0, over)
+        uv_fn = (lambda q, kind=kinds[i], pr=pr: _uv_kind(kind, pr, q))
+        return _eval_pattern_tex(pat_descrs[prim_pat[i]], pat, pp, uv_fn)
+
+    exp_ids = [i for i in analytic
+               if _descr_expensive(pat_descrs[prim_pat[i]])]
+    use_scratch = prefs is not None and exp_ids
+    for i in analytic:
+        if use_scratch and i in exp_ids:
+            continue
+        col, co, uu, vv = eval_prim(i)
+        bx = jnp.where(win[i], col.x, bx)
+        by = jnp.where(win[i], col.y, by)
+        bz = jnp.where(win[i], col.z, bz)
+        if textured and co is not None:
+            coeff = jnp.where(win[i], co, coeff)
+            tex_u = jnp.where(win[i], uu, tex_u)
+            tex_v = jnp.where(win[i], vv, tex_v)
+            tex_root = jnp.where(win[i], float(prim_pat[i]) + zeroR_,
+                                 tex_root)
+    if use_scratch:
+        for ref in prefs[:3]:
+            ref[...] = zeroR_
+        if textured:
+            for ref in prefs[3:6]:
+                ref[...] = zeroR_
+            prefs[6][...] = zeroR_ - 1.0
+        for i in exp_ids:
+            @pl.when(jnp.any(win[i]))
+            def _(i=i):
+                col, co, uu, vv = eval_prim(i)
+                prefs[0][...] = jnp.where(win[i], col.x, prefs[0][...])
+                prefs[1][...] = jnp.where(win[i], col.y, prefs[1][...])
+                prefs[2][...] = jnp.where(win[i], col.z, prefs[2][...])
+                if textured and co is not None:
+                    prefs[3][...] = jnp.where(win[i], co, prefs[3][...])
+                    prefs[4][...] = jnp.where(win[i], uu, prefs[4][...])
+                    prefs[5][...] = jnp.where(win[i], vv, prefs[5][...])
+                    prefs[6][...] = jnp.where(
+                        win[i], float(prim_pat[i]) + zeroR_,
+                        prefs[6][...])
+        exp_any = false
+        for i in exp_ids:
+            exp_any = exp_any | win[i]
+        bx = jnp.where(exp_any, prefs[0][...], bx)
+        by = jnp.where(exp_any, prefs[1][...], by)
+        bz = jnp.where(exp_any, prefs[2][...], bz)
+        if textured:
+            coeff = jnp.where(exp_any, prefs[3][...], coeff)
+            tex_u = jnp.where(exp_any, prefs[4][...], tex_u)
+            tex_v = jnp.where(exp_any, prefs[5][...], tex_v)
+            tex_root = jnp.where(exp_any, prefs[6][...], tex_root)
+    base = V3(bx, by, bz)
     if mesh_win is not None:
         for gid, rep in enumerate(mreps):
             pv = _eval_pattern(pat_descrs[prim_pat[rep]], pat,
@@ -693,8 +1062,27 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
 
     def occludes_seg(sx, sy, sz, dist):
         occ = jnp.zeros_like(o.x, bool)
+        sv = V3(sx, sy, sz)
+        shadow_slots = {}
         for i, kind in enumerate(kinds):
             if kind == sd.TRIANGLE:
+                continue
+            if is_member(i) or kind == sd.TORUS:
+                # Slot forms on the object-space segment ray: member
+                # slots feed the CSG filter below (any_hit_hybrid
+                # semantics); tori have no div-free interval form.
+                p = reader(i)
+                ol_s = _affine_pt(p, 0, over)
+                dl_s = _affine_vec(p, 0, sv)
+                if kind == sd.TORUS and trefs is not None:
+                    slots = _torus_slots_guarded(p, ol_s, dl_s, trefs)
+                else:
+                    slots = _prim_slots(kind, p, ol_s, dl_s)
+                if is_member(i):
+                    shadow_slots[i] = slots
+                    continue
+                for t, valid in slots:
+                    occ = occ | (valid & (t >= 0.0) & (t < dist))
                 continue
             # _occludes reads the 16-col analytic layout (extras —
             # ymin/ymax/closed — at 12-14); this kernel's 32-col rows
@@ -705,12 +1093,19 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
                                                        if j >= 12 else j],
                                   over.x, over.y, over.z, sx, sy, sz,
                                   dist)
+        if shadow_slots:
+            slot_lists = [shadow_slots.get(i, ()) for i in range(P)]
+            s_ts, _, s_keeps = member_filtered(slot_lists)
+            for t, keep in zip(s_ts, s_keeps):
+                occ = occ | (keep & (t >= 0.0) & (t < dist))
         if mesh_ctx is not None:
             _mesh_occludes(mTp, mtris, mboxes, over, sx, sy, sz, dist,
                            mocc_ref, occ.astype(o.x.dtype))
             occ = mocc_ref[...] != 0.0
         return occ
 
+    texa = V3(jnp.zeros_like(o.x), jnp.zeros_like(o.x),
+              jnp.zeros_like(o.x)) if textured else None
     for li, (lkind, llevel) in enumerate(lmeta):
         L = lambda j: lights[li, j]
         if lkind == "point":
@@ -760,9 +1155,24 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
                                      + L(4) * sscale) * unshadow,
             surface.z + ambient.z + (effective.z * dscale
                                      + L(5) * sscale) * unshadow)
+        if textured:
+            # The base color's per-light multiplier: ambient + diffuse
+            # (specular is base-free), so surface is affine in base and
+            # the image texel completes as texel * (texa * coeff).
+            w_base = amb + dscale * unshadow
+            texa = V3(texa.x + L(3) * w_base, texa.y + L(4) * w_base,
+                      texa.z + L(5) * w_base)
     surface = V3(jnp.where(found, surface.x, 0.0),
                  jnp.where(found, surface.y, 0.0),
                  jnp.where(found, surface.z, 0.0))
+    tex = None
+    if textured:
+        mfound = found
+        texmul = V3(jnp.where(mfound, texa.x * coeff, 0.0),
+                    jnp.where(mfound, texa.y * coeff, 0.0),
+                    jnp.where(mfound, texa.z * coeff, 0.0))
+        tex = (texmul, tex_u, tex_v,
+               jnp.where(mfound, tex_root, -1.0))
 
     reflective = jnp.where(found, mat(28), 0.0)
     transparency = jnp.where(found, mat(29), 0.0)
@@ -790,11 +1200,11 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, level, has_refl,
                                 reflectance)
         refl_w = jnp.where(both, reflective * reflectance, refl_w)
         refr_w = jnp.where(both, refr_w * (1.0 - reflectance), refr_w)
-    return surface, over, under, reflectv, refr_dir, refl_w, refr_w
+    return surface, over, under, reflectv, refr_dir, refl_w, refr_w, tex
 
 
-def _kernel(kinds, pat_descrs, prim_pat, lmeta, mesh, depth, W, has_refl,
-            has_refr, *refs):
+def _kernel(kinds, pat_descrs, prim_pat, lmeta, cmeta, textured, mesh,
+            depth, W, has_refl, has_refr, *refs):
     """Per-program level scan over a [SUB, BR] ray block.
 
     Every per-ray value is a (SUB, BR) = (8, 512) tile — a full vreg
@@ -817,8 +1227,23 @@ def _kernel(kinds, pat_descrs, prim_pat, lmeta, mesh, depth, W, has_refl,
     if mesh[0]:
         tris, boxes = refs[:2]
         del refs[:2]
-    outr, outg, outb, st, child, acc = refs[:6]
-    del refs[:6]
+    outr, outg, outb = refs[:3]
+    del refs[:3]
+    if textured:
+        otmr, otmg, otmb, otu, otv, oroot = refs[:6]
+        del refs[:6]
+    st, child, acc = refs[:3]
+    del refs[:3]
+    any_exp = any(_descr_expensive(d) for d in pat_descrs)
+    prefs = None
+    if any_exp:
+        n_pref = 3 + (4 if textured else 0)
+        prefs = tuple(refs[:n_pref])
+        del refs[:n_pref]
+    has_torus = any(k == sd.TORUS for k in kinds)
+    trefs = tuple(refs[:8]) if has_torus else None
+    if has_torus:
+        del refs[:8]
     if mesh[0]:
         mesh_ctx = (mesh[0], mesh[1], tris, boxes, tuple(refs[:5]),
                     refs[5])
@@ -851,6 +1276,10 @@ def _kernel(kinds, pat_descrs, prim_pat, lmeta, mesh, depth, W, has_refl,
             st_wr(c, r, one if c == 5 else zero)
     for c in range(3):
         acc[c * SUB:(c + 1) * SUB, :] = zero
+    if textured:
+        for ref in (otmr, otmg, otmb, otu, otv):
+            ref[:, :] = zero
+        oroot[:, :] = zero - 1.0
 
     for level in range(depth + 1):
         last = level == depth
@@ -871,15 +1300,29 @@ def _kernel(kinds, pat_descrs, prim_pat, lmeta, mesh, depth, W, has_refl,
                     o = V3(st_rd(0, r), st_rd(1, r), st_rd(2, r))
                     d = V3(st_rd(3, r), st_rd(4, r), st_rd(5, r))
                     surface, over, under, reflectv, refr_dir, refl_w, \
-                        refr_w = _node_row(kinds, pat_descrs, prim_pat,
-                                           lmeta, level, has_refl,
-                                           has_refr, prims, pat, lights,
-                                           seeds, o, d,
-                                           mesh_ctx=mesh_ctx)
+                        refr_w, tex = _node_row(kinds, pat_descrs,
+                                                prim_pat, lmeta, cmeta,
+                                                textured, level,
+                                                has_refl, has_refr,
+                                                prims, pat, lights,
+                                                seeds, o, d,
+                                                mesh_ctx=mesh_ctx,
+                                                prefs=prefs, trefs=trefs)
                     for c, v in enumerate((surface.x, surface.y,
                                            surface.z)):
                         sl = slice(c * SUB, (c + 1) * SUB)
                         acc[sl, :] = acc[sl, :] + v * w
+                    if tex is not None:
+                        # depth-0 single node (applicable() gates):
+                        # weight is 1, so the completion channels write
+                        # straight through.
+                        texmul, tu, tv, troot = tex
+                        otmr[:, :] = texmul.x
+                        otmg[:, :] = texmul.y
+                        otmb[:, :] = texmul.z
+                        otu[:, :] = tu
+                        otv[:, :] = tv
+                        oroot[:, :] = troot
                     if spawn_here:
                         first = (over, reflectv, w * refl_w) if has_refl \
                             else (under, refr_dir, w * refr_w)
@@ -920,21 +1363,28 @@ def _kernel(kinds, pat_descrs, prim_pat, lmeta, mesh, depth, W, has_refl,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "kinds", "pat_descrs", "prim_pat", "lmeta", "mesh", "depth", "W",
-    "has_refl", "has_refr", "interpret"))
+    "kinds", "pat_descrs", "prim_pat", "lmeta", "csg", "textured",
+    "mesh", "depth", "W", "has_refl", "has_refr", "interpret"))
 def whitted_compact(ro_comps, rd_comps, prim_tbl, pat_tbl, light_tbl,
                     seeds, kinds, pat_descrs, prim_pat, lmeta,
                     depth: int, W: int, has_refl: bool, has_refr: bool,
                     tri_tbl=None, tri_boxes=None, mesh=(0, ()),
+                    csg=((), ()), textured: bool = False,
                     interpret: bool = False):
-    """Fused Whitted evaluation -> (r, g, b) [R] f32.
+    """Fused Whitted evaluation -> (r, g, b[, texmul rgb, u, v, root])
+    [R] f32 tuples.
 
-    ro/rd_comps: 3-tuples of [R] f32; prim_tbl [P,32], pat_tbl [N,16],
+    ro/rd_comps: 3-tuples of [R] f32; prim_tbl [P,32], pat_tbl [N,17],
     light_tbl [L,15] (see pack_*); seeds [depth+1, L] int32 per-level
     per-light jitter seeds (the XLA fold_in chain evaluated host-side);
     statics mirror the scene structure (lmeta from light_meta(), mesh
-    from mesh_meta() with tri_tbl/tri_boxes from pack_tris()).
+    from mesh_meta() with tri_tbl/tri_boxes from pack_tris(), csg from
+    csg_meta()). textured=True (depth-0 only) appends the 6 affine
+    texture-completion channels; the caller adds `texel(u, v) * texmul`
+    per image-pattern root.
     """
+    assert not (textured and depth > 0), \
+        "texture completion is wired for the depth-0 node only"
     R = ro_comps[0].shape[0]
     blk = SUB * BR
     padR = (-R) % blk
@@ -967,17 +1417,27 @@ def whitted_compact(ro_comps, rd_comps, prim_tbl, pat_tbl, light_tbl,
         pltpu.VMEM((7 * max(spawn, 1) * W * SUB, BR), f32),
         pltpu.VMEM((3 * SUB, BR), f32),
     ]
+    # Pattern winner-select accumulators (base rgb [+ coeff/u/v/root])
+    # — pl.when-skipped expensive trees write through these.
+    if any(_descr_expensive(d) for d in pat_descrs):
+        scratch += [pltpu.VMEM((SUB, BR), f32)
+                    for _ in range(3 + (4 if textured else 0))]
+    if any(k == sd.TORUS for k in kinds):
+        # 4 quartic roots + 4 validity masks for the guarded torus solve.
+        scratch += [pltpu.VMEM((SUB, BR), f32) for _ in range(8)]
     if mesh[0]:
         # 5 mesh closest-hit accumulators (t, nx, ny, nz, prim) + 1
         # shadow-occlusion accumulator, each one (SUB, BR) tile.
         scratch += [pltpu.VMEM((SUB, BR), f32) for _ in range(6)]
+    n_out = 3 + (6 if textured else 0)
     outs = pl.pallas_call(
         functools.partial(_kernel, kinds, pat_descrs, prim_pat, lmeta,
-                          mesh, depth, W, has_refl, has_refr),
+                          csg, textured, mesh, depth, W, has_refl,
+                          has_refr),
         grid=(nrows // SUB,),
         in_specs=[ray_spec] * 6 + [smem] * (6 if mesh[0] else 4),
-        out_specs=(out_spec,) * 3,
-        out_shape=(jax.ShapeDtypeStruct((nrows, BR), f32),) * 3,
+        out_specs=(out_spec,) * n_out,
+        out_shape=(jax.ShapeDtypeStruct((nrows, BR), f32),) * n_out,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)

@@ -20,8 +20,35 @@ def _safe_div(a, b):
     return a / denom
 
 
-def _largest_real_cubic_root(b, c, d):
-    """Largest real root of y^3 + b y^2 + c y + d = 0 (always >= 1 real root)."""
+def _cos_third_acos(arg):
+    """cos(arccos(arg) / 3) for arg in [-1, 1] WITHOUT trig: the largest
+    root of 4c^3 - 3c = arg on [0.5, 1] (triple-angle identity). Newton
+    from c=1 converges monotonically (f convex, f(1) = 1 - arg >= 0);
+    needed because Mosaic has no acos/cos lowering and the quartic's
+    Newton polish cleans up the tail anyway."""
+    c = jnp.ones_like(arg)
+    for _ in range(8):
+        f = (4.0 * c * c - 3.0) * c - arg
+        df = jnp.maximum(12.0 * c * c - 3.0, 1e-3)
+        c = c - f / df
+    return c
+
+
+def _cbrt_safe(x):
+    """Mosaic-safe cbrt via exp/log + one Newton step."""
+    ax = jnp.maximum(jnp.abs(x), _TINY)
+    r = jnp.exp(jnp.log(ax) / 3.0)
+    r = r - (r * r * r - ax) / (3.0 * r * r)
+    return jnp.sign(x) * jnp.where(jnp.abs(x) < _TINY, 0.0, r)
+
+
+def _largest_real_cubic_root(b, c, d, safe_transcendentals=False):
+    """Largest real root of y^3 + b y^2 + c y + d = 0 (always >= 1 real root).
+
+    safe_transcendentals=True substitutes Newton/exp-log forms for
+    acos/cos/cbrt (unimplemented in Mosaic's Pallas TPU lowering); the
+    callers' quartic Newton polish makes the two variants agree to f32
+    noise (pinned by a unit test)."""
     # Depress: y = w - b/3
     shift = b / 3.0
     p = c - b * b / 3.0
@@ -35,15 +62,19 @@ def _largest_real_cubic_root(b, c, d):
     p_neg = jnp.minimum(p, -_TINY)
     m = 2.0 * jnp.sqrt(-p_neg / 3.0)
     arg = jnp.clip(3.0 * q / (p_neg * m), -1.0, 1.0)
-    theta = jnp.arccos(arg) / 3.0
-    w_tri = m * jnp.cos(theta)  # k=0 branch gives the largest root
+    if safe_transcendentals:
+        w_tri = m * _cos_third_acos(arg)
+    else:
+        theta = jnp.arccos(arg) / 3.0
+        w_tri = m * jnp.cos(theta)  # k=0 branch gives the largest root
 
     # --- one real root (Cardano) ---
     disc_pos = jnp.maximum(disc / 108.0, 0.0)  # (q/2)^2 + (p/3)^3
     sq = jnp.sqrt(disc_pos)
     u3 = -q / 2.0 + sq
     v3 = -q / 2.0 - sq
-    w_card = jnp.cbrt(u3) + jnp.cbrt(v3)
+    cbrt = _cbrt_safe if safe_transcendentals else jnp.cbrt
+    w_card = cbrt(u3) + cbrt(v3)
 
     w = jnp.where(three_real, w_tri, w_card)
     return w - shift
@@ -61,22 +92,16 @@ def _quadratic(b, c):
     return r1, r2, ok
 
 
-def solve_quartic_parts(c4, c3, c2, c1, c0, polish_iters: int = 3):
+def solve_quartic_parts(c4, c3, c2, c1, c0, polish_iters: int = 3,
+                        safe_transcendentals: bool = False):
     """All real roots of c4 x^4 + ... + c0 = 0 as four separate arrays.
 
     Returns (roots, valids): two 4-tuples of arrays shaped like the
-    coefficients — the SoA form (no stacked minor axis; see ops/vec.py).
-    Invalid lanes hold junk.
-    """
-    roots, valid = solve_quartic(c4, c3, c2, c1, c0, polish_iters)
-    return tuple(roots[..., i] for i in range(4)), \
-        tuple(valid[..., i] for i in range(4))
-
-
-def solve_quartic(c4, c3, c2, c1, c0, polish_iters: int = 3):
-    """All real roots of c4 x^4 + c3 x^3 + c2 x^2 + c1 x + c0 = 0.
-
-    Returns (roots[..., 4], valid[..., 4]). Invalid lanes hold junk.
+    coefficients — the SoA form (no stacked minor axis; see ops/vec.py),
+    which is also the only form Mosaic can lower (a stacked [..., 4]
+    minor axis is a 3D array inside a Pallas kernel). Invalid lanes hold
+    junk. safe_transcendentals swaps acos/cos/cbrt for Mosaic-lowerable
+    forms (Pallas TPU kernels).
     """
     inv4 = _safe_div(jnp.ones_like(c4), c4)
     b, c, d, e = c3 * inv4, c2 * inv4, c1 * inv4, c0 * inv4
@@ -89,7 +114,8 @@ def solve_quartic(c4, c3, c2, c1, c0, polish_iters: int = 3):
 
     # Resolvent cubic: y^3 + 2p y^2 + (p^2 - 4r) y - q^2 = 0; pick largest
     # real root (guaranteed >= 0 at the max).
-    y = _largest_real_cubic_root(2.0 * p, p * p - 4.0 * r, -q * q)
+    y = _largest_real_cubic_root(2.0 * p, p * p - 4.0 * r, -q * q,
+                                 safe_transcendentals)
     y = jnp.maximum(y, 0.0)
     s = jnp.sqrt(y)
 
@@ -109,28 +135,38 @@ def solve_quartic(c4, c3, c2, c1, c0, polish_iters: int = 3):
     sz1 = jnp.sqrt(jnp.maximum(z1, 0.0))
     sz2 = jnp.sqrt(jnp.maximum(z2, 0.0))
 
-    u_roots = jnp.stack([
-        jnp.where(biquad, sz1, r1a),
-        jnp.where(biquad, -sz1, r1b),
-        jnp.where(biquad, sz2, r2a),
-        jnp.where(biquad, -sz2, r2b),
-    ], axis=-1)
-    valid = jnp.stack([
-        jnp.where(biquad, bq1ok, ok1),
-        jnp.where(biquad, bq1ok, ok1),
-        jnp.where(biquad, bq2ok, ok2),
-        jnp.where(biquad, bq2ok, ok2),
-    ], axis=-1)
+    shift = b / 4.0
+    roots = [
+        jnp.where(biquad, sz1, r1a) - shift,
+        jnp.where(biquad, -sz1, r1b) - shift,
+        jnp.where(biquad, sz2, r2a) - shift,
+        jnp.where(biquad, -sz2, r2b) - shift,
+    ]
+    # Logical ops, not jnp.where-on-bools: Mosaic cannot lower an i1
+    # select ("unsupported target bitwidth for truncation").
+    valid12 = (biquad & bq1ok) | (~biquad & ok1)
+    valid34 = (biquad & bq2ok) | (~biquad & ok2)
+    valids = (valid12, valid12, valid34, valid34)
 
-    roots = u_roots - (b / 4.0)[..., None]
+    # Newton polish on the original quartic, per root array.
+    for i in range(4):
+        x = roots[i]
+        for _ in range(polish_iters):
+            f = (((c4 * x + c3) * x + c2) * x + c1) * x + c0
+            df = ((4.0 * c4 * x + 3.0 * c3) * x + 2.0 * c2) * x + c1
+            step = jnp.clip(_safe_div(f, df), -1.0, 1.0)
+            x = x - jnp.where(valids[i], step, 0.0)
+        roots[i] = x
 
-    # Newton polish on the original quartic.
-    c4e, c3e, c2e, c1e, c0e = (a[..., None] for a in (c4, c3, c2, c1, c0))
-    for _ in range(polish_iters):
-        f = (((c4e * roots + c3e) * roots + c2e) * roots + c1e) * roots + c0e
-        df = ((4.0 * c4e * roots + 3.0 * c3e) * roots + 2.0 * c2e) * roots + c1e
-        step = _safe_div(f, df)
-        step = jnp.clip(step, -1.0, 1.0)
-        roots = roots - jnp.where(valid, step, 0.0)
+    return tuple(roots), valids
 
-    return roots, valid
+
+def solve_quartic(c4, c3, c2, c1, c0, polish_iters: int = 3,
+                  safe_transcendentals: bool = False):
+    """All real roots of c4 x^4 + c3 x^3 + c2 x^2 + c1 x + c0 = 0.
+
+    Returns (roots[..., 4], valid[..., 4]). Invalid lanes hold junk.
+    """
+    roots, valids = solve_quartic_parts(c4, c3, c2, c1, c0, polish_iters,
+                                        safe_transcendentals)
+    return jnp.stack(roots, axis=-1), jnp.stack(valids, axis=-1)

@@ -221,6 +221,49 @@ def _torus_slots(o: V3, d: V3, minor_r):
     return [(outs[i], outs[4 + i]) for i in range(4)]
 
 
+def _torus_slots_nocond(o: V3, d: V3, minor_r):
+    """_torus_slots without the lax.cond batch gate and with Mosaic-safe
+    transcendentals — for Pallas kernels, where Mosaic flattens cond to
+    both-branches + select anyway and has no acos/cos/cbrt lowering.
+    Same AABB gate, applied as a per-lane mask; same t > 0 filter
+    (torus.rs:62-90)."""
+    pad = 1e-3
+    rx = 1.0 + minor_r + pad
+    rz = minor_r + pad
+
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) < 1e-30,
+                               jnp.where(c < 0, -1e-30, 1e-30), c)
+
+    ivx, ivy, ivz = inv(d.x), inv(d.y), inv(d.z)
+    tx1 = (-rx - o.x) * ivx
+    tx2 = (rx - o.x) * ivx
+    ty1 = (-rx - o.y) * ivy
+    ty2 = (rx - o.y) * ivy
+    tz1 = (-rz - o.z) * ivz
+    tz2 = (rz - o.z) * ivz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                   jnp.minimum(ty1, ty2)),
+                       jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                   jnp.maximum(ty1, ty2)),
+                       jnp.maximum(tz1, tz2))
+    enter = (tmin <= tmax) & (tmax >= 0.0)
+
+    r_sq = minor_r * minor_r
+    sum_d_sq = d.dot(d)
+    e = o.dot(o) - r_sq + 1.0
+    f = o.dot(d)
+    a4 = sum_d_sq * sum_d_sq
+    a3 = 4.0 * sum_d_sq * f
+    a2 = 2.0 * sum_d_sq * e + 4.0 * f * f - 4.0 * (d.x * d.x + d.y * d.y)
+    a1 = 4.0 * e * f - 8.0 * (o.x * d.x + o.y * d.y)
+    a0 = e * e - 4.0 * (o.x * o.x + o.y * o.y)
+    roots, valids = quartic.solve_quartic_parts(a4, a3, a2, a1, a0,
+                                                safe_transcendentals=True)
+    return [(r, ok & (r > 0.0) & enter) for r, ok in zip(roots, valids)]
+
+
 def _leaf_slots(scene: sd.SceneData, kind: int, row: int, ro: V3, rd: V3):
     """Hit slots for one analytic leaf (local-space closed forms)."""
     if kind == sd.SPHERE:
@@ -757,8 +800,22 @@ def _member_slots_filtered_nosort(scene: sd.SceneData, ro: V3, rd: V3):
             ts.append(t)
             pids.append(pid)
             valids.append(valid)
-    K = len(ts)
+    ops_and_sides = tuple(
+        (op, tuple(scene.csg_side_static[ci][pid] for pid in pids))
+        for ci, op in enumerate(scene.csg_ops))
+    return ts, pids, csg_keeps(ts, valids, ops_and_sides)
 
+
+def csg_keeps(ts, valids, ops_and_sides):
+    """The static pairwise-parity CSG filter over UNSORTED slot lists.
+
+    `ts`/`valids`: per-slot [R] arrays; `ops_and_sides`: innermost-first
+    tuple of (op, per-slot side code tuple) with side in {0: not under
+    this CSG, 1: left, 2: right}. Pure jnp elementwise math — shared by
+    the XLA hybrid path AND the fused whitted kernel (traced in-register
+    there), so the filter semantics (csg.rs:163-195) cannot drift
+    between them."""
+    K = len(ts)
     # before[j][i]: slot j precedes slot i in the stable sorted order.
     before = [[None] * K for _ in range(K)]
     for j in range(K):
@@ -767,8 +824,7 @@ def _member_slots_filtered_nosort(scene: sd.SceneData, ro: V3, rd: V3):
                 continue
             before[j][i] = (ts[j] <= ts[i]) if j < i else (ts[j] < ts[i])
 
-    for ci, op in enumerate(scene.csg_ops):
-        side = [scene.csg_side_static[ci][pid] for pid in pids]
+    for op, side in ops_and_sides:
         keeps = []
         for i in range(K):
             if side[i] == 0:
@@ -793,7 +849,7 @@ def _member_slots_filtered_nosort(scene: sd.SceneData, ro: V3, rd: V3):
                 allowed = ~inr if side[i] == 1 else inl
             keeps.append(valids[i] & allowed)
         valids = keeps
-    return ts, pids, valids
+    return valids
 
 
 def csg_filtered_member_hit(scene: sd.SceneData, ro: V3, rd: V3):

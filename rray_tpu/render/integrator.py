@@ -230,8 +230,10 @@ def _color_at_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
     would only slow them down."""
     from ..kernels import whitted as kwhit
     if (kwhit.applicable(scene, settings, ro.dtype)
-            and (scene.counts[6]
-                 or any(light.kind == "area" for light in scene.lights))):
+            and (scene.counts[6] or scene.counts[5]
+                 or any(light.kind == "area" for light in scene.lights)
+                 or not all(kwhit._tree_cheap(p)
+                            for p in scene.patterns))):
         outs = _whitted_kernel_call(
             scene, (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z), key, remaining,
             settings)
@@ -890,6 +892,11 @@ def _soa_node_fn(scene: sd.SceneData):
     return _color_at_sorted_soa
 
 
+# Texture-completion cond granularity (rays per chunk): conds are
+# ~free, so finer chunks fetch fewer texels for screen-local textures.
+_COMPLETION_CH = 4096
+
+
 def _xla_reference_node(scene, ro, rd, remaining, settings, key):
     """The pure-XLA Whitted evaluation for this scene (kernel-free).
 
@@ -937,14 +944,83 @@ def _whitted_kernel_call(scene, rays, key, remaining, settings):
     tri_tbl = tri_boxes = None
     if mesh[0]:
         tri_tbl, tri_boxes = kwhit.pack_tris(scene)
-    return kwhit.whitted_compact(
+    textured = kwhit.scene_textured(scene)
+    outs = kwhit.whitted_compact(
         rays[:3], rays[3:], prim_tbl, pat_tbl, light_tbl, seeds,
         kinds=tuple(scene.prim_kinds), pat_descrs=descrs,
         prim_pat=tuple(scene.prim_pattern_static),
         lmeta=kwhit.light_meta(scene), depth=depth, W=W,
         has_refl=scene.has_reflective, has_refr=scene.has_transparent,
         tri_tbl=tri_tbl, tri_boxes=tri_boxes, mesh=mesh,
+        csg=kwhit.csg_meta(scene), textured=textured,
         interpret=getattr(settings, "pallas", "off") == "interpret")
+    if not textured:
+        return outs
+    # Affine texture completion: the kernel emits per-ray (u, v, root,
+    # multiplier); every pattern combinator and the base-color Phong
+    # path are affine in the image leaf's value, so adding
+    # texel * multiplier reproduces the XLA pattern_at exactly
+    # (pattern.rs:209-213, texture.rs:32-54). The row-gather runs per
+    # 4096-ray CHUNK under lax.cond — textures are screen-local, and a
+    # whole-tile cond (103k rays) still fetched ~2 ms of texels per
+    # 1080p frame for the torus's few percent of pixels; swizzled block
+    # order (render() swizzles textured scenes) keeps chunks spatially
+    # tight so most skip.
+    from ..render import shade_soa
+
+    def image_node(node):
+        if node is None:
+            return None
+        if node.ptype == "image":
+            return node
+        return image_node(node.a) or image_node(node.b)
+
+    roots = [(rid, image_node(root))
+             for rid, root in enumerate(scene.patterns)
+             if image_node(root) is not None]
+    r = outs[0]
+    R = r.shape[0]
+    CH = min(_COMPLETION_CH, R)
+    padR = (-R) % CH
+
+    # STATIC chunk unroll, not lax.map: a while-loop step costs ~µs of
+    # dispatch, and 26 chunks x 20 tiles of that exceeded the gathers
+    # it was saving (measured 332 M vs 369 M). Unrolled conds are free
+    # when they don't fire; a tile-level cond around the whole pass
+    # spares texture-free tiles even the pad/reshape/concat copies.
+    def completion(_):
+        arrs = [jnp.pad(a, (0, padR),
+                        constant_values=(-1.0 if i == 8 else 0.0))
+                if padR else a for i, a in enumerate(outs)]
+        arrs = [a.reshape(-1, CH) for a in arrs]
+        n_chunks = arrs[0].shape[0]
+        out_rows = []
+        for ci in range(n_chunks):
+            cr, cg, cb, tmr, tmg, tmb, tu, tv, troot = (a[ci]
+                                                        for a in arrs)
+            for rid, node in roots:
+                m = troot == float(rid)
+
+                def fetch(_, node=node, tu=tu, tv=tv):
+                    tx = shade_soa._sample_texture(node.texture, tu, tv)
+                    return tx.x, tx.y, tx.z
+
+                def skip(_, cr=cr):
+                    z = jnp.zeros_like(cr)
+                    return z, z, z
+
+                tx, ty, tz = jax.lax.cond(jnp.any(m), fetch, skip, None)
+                cr = cr + jnp.where(m, tx * tmr, 0.0)
+                cg = cg + jnp.where(m, ty * tmg, 0.0)
+                cb = cb + jnp.where(m, tz * tmb, 0.0)
+            out_rows.append((cr, cg, cb))
+        rr = jnp.concatenate([t[0] for t in out_rows])
+        gg = jnp.concatenate([t[1] for t in out_rows])
+        bb = jnp.concatenate([t[2] for t in out_rows])
+        return rr[:R], gg[:R], bb[:R]
+
+    return jax.lax.cond(jnp.any(outs[8] >= 0.0), completion,
+                        lambda _: (outs[0], outs[1], outs[2]), None)
 
 
 def _whitted_kernel_fwd(scene, rays, key, remaining, settings):
@@ -1130,9 +1206,12 @@ def render(scene: sd.SceneData, cam: CameraData,
     # per-pixel values are identical, INCLUDING area-light jitter,
     # which is keyed by the shadow origin's bits (ops/jitter.py), not
     # the tile layout.
+    from ..kernels import whitted as kwhit
     swizzle = (bool(scene.counts[6]) and soa._use_pallas(settings,
                                                          cam.inv.dtype)) \
-        or scene.has_reflective or scene.has_transparent
+        or scene.has_reflective or scene.has_transparent \
+        or (kwhit.scene_textured(scene)
+            and soa._use_pallas(settings, cam.inv.dtype))
     tile = _tile_rays(scene, cam, settings)
     if swizzle:
         ro, rd, Hp, Wp = _swizzled_rays(cam)

@@ -106,10 +106,16 @@ class TestWhittedKernel:
         _, lights, shapes = load_scene_file(GLASS)
         glass = compile_scene(shapes, lights, dtype=jnp.float32)
         assert kwhit.applicable(glass, st, jnp.float32)
-        # CSG + torus + texture scene: must fall back to the XLA path.
+        # CSG + torus + texture scene: fuses since round 5 (analytic
+        # CSG members, Mosaic-safe quartic, affine texture completion).
         _, lights, shapes = load_scene_file(CSG)
         csg = compile_scene(shapes, lights, dtype=jnp.float32)
-        assert not kwhit.applicable(csg, st, jnp.float32)
+        assert kwhit.applicable(csg, st, jnp.float32)
+        # ... but CSG + transparency stays on the sorted XLA path (the
+        # n1/n2 walk needs the FILTERED slot list).
+        import dataclasses
+        refr = dataclasses.replace(csg, has_transparent=True)
+        assert not kwhit.applicable(refr, st, jnp.float32)
         # pallas off: never applicable.
         assert not kwhit.applicable(glass, RenderSettings(pallas="off"),
                                     jnp.float32)
@@ -287,6 +293,94 @@ class TestWhittedKernel:
         # The scene must actually shadow (else the A/B proves nothing).
         lit = a.max(axis=2)
         assert lit.min() < 0.55 * lit.max()
+        np.testing.assert_allclose(a, b, atol=2e-6)
+
+    def test_csg_showcase_matches_xla(self):
+        """The BASELINE config-5 scene (CSG difference + torus quartic +
+        image texture + noise/stripe/gradient patterns) through the
+        fused kernel. The kernel's quartic uses Mosaic-safe
+        transcendentals (Newton cos(acos/3), exp/log cbrt) and the uv
+        atan2 is a polynomial, so torus-silhouette/texel-boundary
+        pixels may legitimately flip — bound the flip count, pin
+        everything else tight."""
+        a = _render(CSG, "compact", w=192, h=108)
+        b = _render(CSG, "compact", w=192, h=108, pallas="interpret")
+        d = np.abs(a - b).max(axis=2)
+        assert float((d > 1e-3).mean()) < 2e-3, float((d > 1e-3).mean())
+        assert np.median(np.abs(a - b)) < 1e-6
+
+    def test_torus_glass_matches_xla(self):
+        """Torus + transparency (no CSG): the quartic slots feed the
+        in-kernel n1/n2 crossing folds."""
+        from rray_tpu import (Camera, Material, Pattern, PointLight,
+                              RenderSettings, Shape, compile_camera,
+                              compile_scene)
+        from rray_tpu import mathutils as mu
+        from rray_tpu.kernels import whitted as kwhit
+        from rray_tpu.render.integrator import render
+
+        floor = Shape("plane", material=Material(
+            pattern=Pattern.solid([0.9, 0.9, 0.9]), specular=0.0))
+        torus = Shape("torus", minor_radius=0.35,
+                      transform=mu.compose([mu.translate(0, 0.9, 0),
+                                            mu.rotate_x(np.pi / 2)]),
+                      material=Material(
+                          pattern=Pattern.solid([0.05, 0.05, 0.05]),
+                          transparency=0.8, refractive_index=1.3,
+                          diffuse=0.2))
+        light = PointLight(np.array([-10.0, 10.0, -10.0]), np.ones(3))
+        scene = compile_scene([floor, torus], [light], dtype=jnp.float32)
+        cam_h = Camera(64, 48, np.pi / 3)
+        cam_h.transform = mu.view_transform([0, 1.5, -5], [0, 1, 0],
+                                            [0, 1, 0])
+        cam = compile_camera(cam_h, jnp.float32)
+        st_i = RenderSettings(rows_per_tile=48, max_hits=16,
+                              containers_depth=4, pallas="interpret")
+        assert kwhit.applicable(scene, st_i, jnp.float32)
+        a = np.asarray(render(scene, cam, settings=RenderSettings(
+            rows_per_tile=48, max_hits=16, containers_depth=4,
+            pallas="off")))
+        b = np.asarray(render(scene, cam, settings=st_i))
+        d = np.abs(a - b).max(axis=2)
+        assert float((d > 1e-3).mean()) < 5e-3, float((d > 1e-3).mean())
+        assert np.median(np.abs(a - b)) < 1e-6
+
+    def test_csg_cutout_does_not_shadow(self):
+        """A difference CSG's removed region must not occlude shadow
+        rays (is_shadowed sees the FILTERED intersections —
+        scene.rs:234-245): kernel vs XLA must agree, and the scene must
+        show lit floor under the cut-out."""
+        from rray_tpu import (AreaLight, Camera, Material, Pattern,
+                              RenderSettings, Shape, compile_camera,
+                              compile_scene)
+        from rray_tpu import mathutils as mu
+        from rray_tpu.kernels import whitted as kwhit
+        from rray_tpu.render.integrator import render
+
+        floor = Shape("plane", material=Material(
+            pattern=Pattern.solid([1.0, 1.0, 1.0]), specular=0.0))
+        # A hollow shell directly under the light: the sphere cut-out
+        # removes the cube's interior, so rays through the hole pass.
+        cube = Shape("cube", transform=mu.compose(
+            [mu.translate(0, 2.5, 0), mu.scale(1.0, 0.2, 1.0)]),
+            material=Material(pattern=Pattern.solid([0.8, 0.3, 0.3])))
+        hole = Shape("sphere", transform=mu.compose(
+            [mu.translate(0, 2.5, 0), mu.scale(0.6, 0.6, 0.6)]),
+            material=Material(pattern=Pattern.solid([0.2, 0.6, 0.3])))
+        csg = Shape("csg", operation="difference", left=cube, right=hole)
+        light = AreaLight(np.array([-0.5, 8.0, -0.5]),
+                          np.array([1.0, 0.0, 0.0]),
+                          np.array([0.0, 0.0, 1.0]), np.ones(3), level=2)
+        scene = compile_scene([floor, csg], [light], dtype=jnp.float32)
+        cam_h = Camera(48, 36, np.pi / 3)
+        cam_h.transform = mu.view_transform([0, 4.0, -6], [0, 1, 0],
+                                            [0, 1, 0])
+        cam = compile_camera(cam_h, jnp.float32)
+        st_i = RenderSettings(rows_per_tile=36, pallas="interpret")
+        assert kwhit.applicable(scene, st_i, jnp.float32)
+        a = np.asarray(render(scene, cam, settings=RenderSettings(
+            rows_per_tile=36, pallas="off")))
+        b = np.asarray(render(scene, cam, settings=st_i))
         np.testing.assert_allclose(a, b, atol=2e-6)
 
     def test_train_then_render_path_invariant(self):

@@ -65,6 +65,13 @@ class RenderSettings:
     # (HBM-streamed leaves); smaller ones use the VMEM-resident
     # linear-chunk kernel, whose fixed cost is lower.
     bvh_min_tris: int = 1024
+    # BVH leaf size (triangles per HBM-streamed leaf). The trade is
+    # fold work (every entered leaf intersects all 512 block rays)
+    # against tree depth (serial traversal steps); the round-5 sweep on
+    # the 6320-tri teapot measured 128 fastest (78 M rays/s vs 74 M at
+    # 256 and 64, 64 M at 32). auto_leaf may raise this for very large
+    # meshes.
+    bvh_leaf: int = 128
     # Whitted wavefront implementation: "compact" (capacity-bounded
     # per-level live-ray compaction; default), "scan" (level-synchronous,
     # fixed 2^depth width), or "unrolled" (one body per depth level —

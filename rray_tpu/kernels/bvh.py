@@ -51,7 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import EPSILON
 from .triangles import _inv_dir, _ray_slab
 
-BR = 512          # rays per program (block)
+BR = 512          # rays per block (lane width x 4)
+# 512-ray blocks per program. 1 is the measured optimum: an (8, BR)
+# program was tried in round 5 — full-vreg slab tests and 8x fewer
+# serial steps — but each entered leaf must fold per ray ROW, and the
+# 8-block UNION of entered leaves multiplied fold work ~8x (6.3x slower
+# on config4b). Fold compute, not the stack walk, bounds this kernel.
+SUBB = 1
 LEAF = 256        # triangles per leaf (sublane-aligned)
 STACK = 64        # traversal stack bound (>= tree depth + 1)
 MAX_LEAVES = 2048  # SMEM node-box budget: [6, 2*Lp] f32 = 96 KB at 2048
@@ -166,6 +172,14 @@ def build_tree(p1, e1, e2, normals=None, aux=(), leaf: int = LEAF):
 def _traverse_kernel(Lp, leaf, any_hit, normals, n_aux,
                      rox, roy, roz, rdx, rdy, rdz, dist,
                      boxes, tri_hbm, *refs):
+    """Block-synchronous heap walk over SUBB x BR = 4096 rays per
+    program. The round-4 kernel traversed per 512-ray block: its slab
+    tests ran as [1, BR] rows (7/8 of every vreg idle — the same
+    disease CLAUDE.md documents for the first whitted kernel) and the
+    grid serialized 8x more while-loop steps per frame; per-block
+    timing showed the serial step machinery, not leaf DMA or fold
+    compute, bounding the config4b frame. 4096 swizzled rays = 8
+    adjacent 16x32 pixel tiles, so the shared stack stays coherent."""
     refs = list(refs)
     t_ref, u_ref, v_ref, idx_ref = refs[:4]
     del refs[:4]
@@ -175,28 +189,31 @@ def _traverse_kernel(Lp, leaf, any_hit, normals, n_aux,
     aux_refs = refs[:n_aux]
     buf0, buf1, sem0, sem1, stack = refs[n_aux:]
     aux_base = 18 if normals else 9
-    # Rays stay in lanes; [1, BR] rows broadcast along sublanes for free.
-    ox = rox[0, :][None, :]
-    oy = roy[0, :][None, :]
-    oz = roz[0, :][None, :]
-    dx = rdx[0, :][None, :]
-    dy = rdy[0, :][None, :]
-    dz = rdz[0, :][None, :]
-    ix, iy, iz = _inv_dir(rdx[0, :]), _inv_dir(rdy[0, :]), _inv_dir(rdz[0, :])
-    rx0, ry0, rz0 = rox[0, :], roy[0, :], roz[0, :]
-    R = rx0.shape[0]
-    limit = dist[0, :]  # any-hit range (closest-hit passes +inf)
+    S = rox.shape[0]
+    ox = rox[...]
+    oy = roy[...]
+    oz = roz[...]
+    ix, iy, iz = _inv_dir(rdx[...]), _inv_dir(rdy[...]), _inv_dir(rdz[...])
+    limit = dist[...]  # any-hit range (closest-hit passes +inf)
+    # Per-row [1, BR] views for the triangles-in-sublanes leaf fold.
+    oxr = [rox[r, :][None, :] for r in range(S)]
+    oyr = [roy[r, :][None, :] for r in range(S)]
+    ozr = [roz[r, :][None, :] for r in range(S)]
+    dxr = [rdx[r, :][None, :] for r in range(S)]
+    dyr = [rdy[r, :][None, :] for r in range(S)]
+    dzr = [rdz[r, :][None, :] for r in range(S)]
 
-    t_ref[0, :] = jnp.full((R,), _INF, jnp.float32)
-    u_ref[0, :] = jnp.zeros((R,), jnp.float32)
-    v_ref[0, :] = jnp.zeros((R,), jnp.float32)
-    idx_ref[0, :] = jnp.zeros((R,), jnp.int32)
+    zero = jnp.zeros_like(ox)
+    t_ref[...] = zero + _INF
+    u_ref[...] = zero
+    v_ref[...] = zero
+    idx_ref[...] = jnp.zeros_like(ox, jnp.int32)
     if normals:
-        nx_ref[0, :] = jnp.zeros((R,), jnp.float32)
-        ny_ref[0, :] = jnp.zeros((R,), jnp.float32)
-        nz_ref[0, :] = jnp.zeros((R,), jnp.float32)
+        nx_ref[...] = zero
+        ny_ref[...] = zero
+        nz_ref[...] = zero
     for ar in aux_refs:
-        ar[0, :] = jnp.zeros((R,), jnp.float32)
+        ar[...] = zero
 
     def leaf_dma(ci, buf, sem):
         """The async copy descriptor for leaf ci -> VMEM buffer `buf`
@@ -204,74 +221,98 @@ def _traverse_kernel(Lp, leaf, any_hit, normals, n_aux,
         return pltpu.make_async_copy(
             tri_hbm.at[pl.ds(ci * leaf, leaf), :], buf, sem)
 
+    # Sub-leaf fold granularity: the ~14 live [SUBL, BR] Möller–Trumbore
+    # temporaries spill to scoped VMEM (16 MB budget) — a whole
+    # [256, 512] slice put ~14 x 0.5 MB on the kernel stack and OOM'd.
+    SUBL = min(leaf, 64)
+
     def mt_leaf(ci, tri_vmem):
         """Fold leaf ci's closest hits from its already-copied VMEM
         buffer (the DMA was started when the leaf was ENTERED and is
-        waited by the caller — the fold of the PREVIOUS leaf overlaps
-        this leaf's copy, hiding the HBM latency that BASELINE.md
-        diagnosed as the traversal bottleneck)."""
-        col = lambda k: tri_vmem[:, k][:, None]   # [leaf, 1] native
-        tp1x, tp1y, tp1z = col(0), col(1), col(2)
-        te1x, te1y, te1z = col(3), col(4), col(5)
-        te2x, te2y, te2z = col(6), col(7), col(8)
+        waited by the caller — each leaf's copy overlaps the previous
+        leaf's fold). One [SUBL, BR] intersection tile per ray ROW per
+        sub-slice: triangles in sublanes, rays in lanes (ONE DMA now
+        serves all SUBB rows). Sub-slices fold in index order with
+        strict <, so the lowest-index tie-break is identical to a
+        whole-leaf argmin."""
+        for r, base in [(r, b) for r in range(S)
+                        for b in range(0, leaf, SUBL)]:
+            col = lambda k: tri_vmem[base:base + SUBL, k][:, None]
+            tp1x, tp1y, tp1z = col(0), col(1), col(2)
+            te1x, te1y, te1z = col(3), col(4), col(5)
+            te2x, te2y, te2z = col(6), col(7), col(8)
+            dx, dy, dz = dxr[r], dyr[r], dzr[r]
+            cx = dy * te2z - dz * te2y
+            cy = dz * te2x - dx * te2z
+            cz = dx * te2y - dy * te2x
+            det = te1x * cx + te1y * cy + te1z * cz
+            ok = jnp.abs(det) >= EPSILON
+            f = 1.0 / jnp.where(ok, det, 1.0)
+            sx = oxr[r] - tp1x
+            sy = oyr[r] - tp1y
+            sz = ozr[r] - tp1z
+            uu = f * (sx * cx + sy * cy + sz * cz)
+            ok = ok & (uu >= 0.0) & (uu <= 1.0)
+            qx = sy * te1z - sz * te1y
+            qy = sz * te1x - sx * te1z
+            qz = sx * te1y - sy * te1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            ok = ok & (vv >= 0.0) & (uu + vv <= 1.0)
+            tt = f * (te2x * qx + te2y * qy + te2z * qz)
+            ok = ok & (tt >= 0.0)
+            tt = jnp.where(ok, tt, _INF)
+            row_sl = slice(r, r + 1)
 
-        cx = dy * te2z - dz * te2y
-        cy = dz * te2x - dx * te2z
-        cz = dx * te2y - dy * te2x
-        det = te1x * cx + te1y * cy + te1z * cz
-        ok = jnp.abs(det) >= EPSILON
-        f = 1.0 / jnp.where(ok, det, 1.0)
-        sx = ox - tp1x
-        sy = oy - tp1y
-        sz = oz - tp1z
-        uu = f * (sx * cx + sy * cy + sz * cz)
-        ok = ok & (uu >= 0.0) & (uu <= 1.0)
-        qx = sy * te1z - sz * te1y
-        qy = sz * te1x - sx * te1z
-        qz = sx * te1y - sy * te1x
-        vv = f * (dx * qx + dy * qy + dz * qz)
-        ok = ok & (vv >= 0.0) & (uu + vv <= 1.0)
-        tt = f * (te2x * qx + te2y * qy + te2z * qz)
-        ok = ok & (tt >= 0.0)
-        tt = jnp.where(ok, tt, _INF)
+            if any_hit:
+                # Occlusion only: no payload selection. A hit inside
+                # the range pins best-t to 0 so the traversal's
+                # early-exit and the caller's `t < dist` test see it.
+                row_hit = jnp.any(tt < limit[row_sl, :], axis=0,
+                                  keepdims=True)
+                t_ref[row_sl, :] = jnp.where(row_hit, 0.0,
+                                             t_ref[row_sl, :])
+                continue
 
-        if any_hit:
-            # Occlusion only: no payload selection. A hit inside the
-            # range pins best-t to 0 so the traversal's early-exit and
-            # the caller's `t < dist` test both see it.
-            row_hit = jnp.any(tt < limit[None, :], axis=0)
-            t_ref[0, :] = jnp.where(row_hit, 0.0, t_ref[0, :])
-            return
-
-        ct = jnp.min(tt, axis=0)                  # [BR] over sublanes
-        row = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
-        local = jnp.min(jnp.where(tt == ct[None, :], row, leaf), axis=0)
-        onehot = row == local[None, :]
-        take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=0)
-        bt = t_ref[0, :]
-        better = ct < bt
-        t_ref[0, :] = jnp.where(better, ct, bt)
-        u_ref[0, :] = jnp.where(better, take(uu), u_ref[0, :])
-        v_ref[0, :] = jnp.where(better, take(vv), v_ref[0, :])
-        idx_ref[0, :] = jnp.where(better, ci * leaf + local, idx_ref[0, :])
-        if normals:
-            # Interpolated world vertex normal (columns 9-17), in-kernel:
-            # avoids per-ray table gathers downstream (flat triangles
-            # store n1=n2=n3=nflat, so one formula serves both).
-            wu = jnp.where(onehot, uu, 0.0)
-            wv = jnp.where(onehot, vv, 0.0)
-            w1 = jnp.where(onehot, 1.0 - uu - vv, 0.0)
-            nsel = lambda r: jnp.sum(
-                w1 * col(9 + r) + wu * col(12 + r) + wv * col(15 + r),
-                axis=0)
-            nx_ref[0, :] = jnp.where(better, nsel(0), nx_ref[0, :])
-            ny_ref[0, :] = jnp.where(better, nsel(1), ny_ref[0, :])
-            nz_ref[0, :] = jnp.where(better, nsel(2), nz_ref[0, :])
-        for k, ar in enumerate(aux_refs):
-            # Per-triangle payload column (shade class / prim id as f32):
-            # one sublane select-sum replaces a ~1 elem/cycle XLA gather
-            # downstream.
-            ar[0, :] = jnp.where(better, take(col(aux_base + k)), ar[0, :])
+            ct = jnp.min(tt, axis=0, keepdims=True)   # [1, BR]
+            row = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+            local = jnp.min(jnp.where(tt == ct, row, SUBL), axis=0,
+                            keepdims=True)
+            onehot = row == local
+            take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=0,
+                                     keepdims=True)
+            bt = t_ref[row_sl, :]
+            better = ct < bt
+            t_ref[row_sl, :] = jnp.where(better, ct, bt)
+            u_ref[row_sl, :] = jnp.where(better, take(uu),
+                                         u_ref[row_sl, :])
+            v_ref[row_sl, :] = jnp.where(better, take(vv),
+                                         v_ref[row_sl, :])
+            idx_ref[row_sl, :] = jnp.where(better,
+                                           ci * leaf + base + local,
+                                           idx_ref[row_sl, :])
+            if normals:
+                # Interpolated world vertex normal (columns 9-17),
+                # in-kernel: avoids per-ray table gathers downstream
+                # (flat triangles store n1=n2=n3, so one formula
+                # serves both).
+                wu = jnp.where(onehot, uu, 0.0)
+                wv = jnp.where(onehot, vv, 0.0)
+                w1 = jnp.where(onehot, 1.0 - uu - vv, 0.0)
+                nsel = lambda k: jnp.sum(
+                    w1 * col(9 + k) + wu * col(12 + k) + wv * col(15 + k),
+                    axis=0, keepdims=True)
+                nx_ref[row_sl, :] = jnp.where(better, nsel(0),
+                                              nx_ref[row_sl, :])
+                ny_ref[row_sl, :] = jnp.where(better, nsel(1),
+                                              ny_ref[row_sl, :])
+                nz_ref[row_sl, :] = jnp.where(better, nsel(2),
+                                              nz_ref[row_sl, :])
+            for k, ar in enumerate(aux_refs):
+                # Per-triangle payload column (shade class / prim id
+                # as f32): one sublane select-sum replaces a ~1
+                # elem/cycle XLA gather downstream.
+                ar[row_sl, :] = jnp.where(better, take(col(aux_base + k)),
+                                          ar[row_sl, :])
 
     def cond(c):
         sp, done, _, _ = c
@@ -292,11 +333,11 @@ def _traverse_kernel(Lp, leaf, any_hit, normals, n_aux,
         # Node boxes live in SMEM: dynamic scalar reads are legal there
         # (Mosaic can't prove 128-alignment for dynamic VMEM loads).
         tmin, tmax = _ray_slab(
-            rx0, ry0, rz0, ix, iy, iz,
+            ox, oy, oz, ix, iy, iz,
             boxes[0, n], boxes[1, n], boxes[2, n],
             boxes[3, n], boxes[4, n], boxes[5, n])
         enter = (tmin <= tmax) & (tmax >= 0.0) & (
-            tmin < jnp.minimum(t_ref[0, :], limit))
+            tmin < jnp.minimum(t_ref[...], limit))
         enter_any = jnp.any(enter)
         is_leaf = n >= Lp
 
@@ -339,7 +380,7 @@ def _traverse_kernel(Lp, leaf, any_hit, normals, n_aux,
             # can't block the block-level early exit. (The pending
             # leaf's hits land one step late; the drain below catches
             # the final fold.)
-            done = jnp.all((t_ref[0, :] < limit) | (limit <= 0.0))
+            done = jnp.all((t_ref[...] < limit) | (limit <= 0.0))
         else:
             done = jnp.asarray(False)
         return (sp, done, pend, par)
@@ -410,28 +451,67 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None, aux=None,
     if dist is None:
         dist = jnp.full((R,), _INF, jnp.float32)
 
-    grid = (R // BR,)
-    ray_spec = pl.BlockSpec((1, BR), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-    box_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((1, BR), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+    # XLA stages the custom call's whole operands/results in scoped
+    # VMEM (S(1)); 16 tile-sized arrays at ~1 MB each blow the 16 MB
+    # scoped budget, so big tiles split into <=128k-ray slices (the
+    # tree build above is shared; only the ray-shaped args slice).
+    RMAX = 128 * 1024
+    if R > RMAX:
+        outs = None
+        for s in range(0, R, RMAX):
+            e = min(s + RMAX, R)
+            part = bvh_closest_triangle(
+                tuple(c[s:e] for c in ro_comps),
+                tuple(c[s:e] for c in rd_comps),
+                tri_comps, dist=dist[s:e], aux=aux, leaf=leaf,
+                any_hit=any_hit, interpret=interpret,
+                max_leaves=max_leaves)
+            outs = part if outs is None else tuple(
+                jnp.concatenate([a, b]) for a, b in zip(outs, part))
+        return outs
 
-    args = [c.reshape(1, R) for c in (*ro_comps, *rd_comps)]
-    args.append(dist.astype(jnp.float32).reshape(1, R))
+    # Pad the ray axis to whole (SUBB, BR) programs. Padding rays carry
+    # dist = -inf: they never pass the slab test's `tmin < limit` and
+    # count as already satisfied for the any-hit early exit.
+    blk = SUBB * BR
+    padR = (-R) % blk
+    Rp = R + padR
+
+    def padr(c, fill=0.0):
+        return jnp.pad(c, (0, padR), constant_values=fill) if padR else c
+
+    nrows = Rp // BR
+    grid = (nrows // SUBB,)
+    if SUBB == 1:
+        # Lane-sliced layout: a (1, BR) block must equal the full
+        # sublane dim, so the arrays stay [1, Rp] and blocks stride the
+        # lane axis.
+        shape2 = (1, Rp)
+        ray_spec = pl.BlockSpec((1, BR), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+    else:
+        shape2 = (nrows, BR)
+        ray_spec = pl.BlockSpec((SUBB, BR), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    box_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_spec = ray_spec
+
+    args = [padr(c).reshape(shape2) for c in (*ro_comps, *rd_comps)]
+    args.append(padr(dist.astype(jnp.float32),
+                     fill=-_INF).reshape(shape2))
     args.append(jnp.stack([*nlo, *nhi], axis=0))  # [6, NN] -> SMEM
     args.append(packed)
 
     n_out = (7 if normals else 4) + len(aux)
     out_shapes = (
-        jax.ShapeDtypeStruct((1, R), jnp.float32),
-        jax.ShapeDtypeStruct((1, R), jnp.float32),
-        jax.ShapeDtypeStruct((1, R), jnp.float32),
-        jax.ShapeDtypeStruct((1, R), jnp.int32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.int32),
     )
     if normals:
-        out_shapes += (jax.ShapeDtypeStruct((1, R), jnp.float32),) * 3
-    out_shapes += (jax.ShapeDtypeStruct((1, R), jnp.float32),) * len(aux)
+        out_shapes += (jax.ShapeDtypeStruct(shape2, jnp.float32),) * 3
+    out_shapes += (jax.ShapeDtypeStruct(shape2, jnp.float32),) * len(aux)
 
     outs = pl.pallas_call(
         functools.partial(_traverse_kernel, Lp, leaf, any_hit, normals,
@@ -452,4 +532,4 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None, aux=None,
         ],
         interpret=interpret,
     )(*args)
-    return tuple(o.reshape(R) for o in outs)
+    return tuple(o.reshape(Rp)[:R] for o in outs)

@@ -401,7 +401,10 @@ def _pallas_triangle_any(scene: sd.SceneData, ro: V3, rd: V3, settings,
     dist = padr(sg(distance), 0.0)
     if T >= getattr(settings, "bvh_min_tris", 1024):
         ct = kbvh.bvh_closest_triangle(ro_c, rd_c, tri_bvh, dist=dist,
-                                       any_hit=True, interpret=interpret)[0]
+                                       any_hit=True,
+                                       leaf=int(getattr(settings,
+                                                        "bvh_leaf", 256)),
+                                       interpret=interpret)[0]
         return (ct < dist)[:R]
     hit = ktri.any_triangle(ro_c, rd_c, tri_lin, dist, interpret=interpret)
     return hit[:R] != 0
@@ -459,16 +462,17 @@ def _kernel_closest(static, ro_c, rd_c, tri_comps, t_init, aux):
     scene would fail on device; the backward pass recomputes the winning
     triangle's Möller–Trumbore partials in plain XLA (`_mt_winner_xla`)
     with the winner held locally constant. `static` = (use_bvh,
-    interpret); t_init (cull seed) and aux (discrete payload columns)
-    get zero gradients — the seed only gates culling and the payloads
-    are integer ids."""
+    interpret, leaf); t_init (cull seed) and aux (discrete payload
+    columns) get zero gradients — the seed only gates culling and the
+    payloads are integer ids."""
     from ..kernels import bvh as kbvh
     from ..kernels import triangles as ktri
 
-    use_bvh, interpret = static
+    use_bvh, interpret, leaf = static
     if use_bvh:
         return kbvh.bvh_closest_triangle(ro_c, rd_c, tri_comps, dist=t_init,
-                                         aux=aux, interpret=interpret)
+                                         aux=aux, leaf=leaf,
+                                         interpret=interpret)
     return ktri.closest_triangle(ro_c, rd_c, tri_comps, t_init=t_init,
                                  aux=aux, interpret=interpret)
 
@@ -572,12 +576,13 @@ def _pallas_triangle_best(scene: sd.SceneData, ro: V3, rd: V3, settings,
     # exact, and seed-beaten leaves merge away below. `_kernel_closest`
     # wraps both kernels with the custom VJP (the seed gradient is zero
     # there; it only gates culling).
+    leaf = int(getattr(settings, "bvh_leaf", 256))
     if use_bvh:
-        outs = _kernel_closest((True, interpret), ro_c, rd_c, tri_bvh,
-                               seed, aux_bvh)
+        outs = _kernel_closest((True, interpret, leaf), ro_c, rd_c,
+                               tri_bvh, seed, aux_bvh)
     else:
-        outs = _kernel_closest((False, interpret), ro_c, rd_c, tri_lin,
-                               seed, aux_lin)
+        outs = _kernel_closest((False, interpret, leaf), ro_c, rd_c,
+                               tri_lin, seed, aux_lin)
     t, u, v, idx = (o[:R] for o in outs[:4])
     # idx only feeds the rare textured-mesh uv gathers downstream — keep
     # it clamped for them; prim/cls come back from the kernel as f32

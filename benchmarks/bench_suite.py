@@ -126,7 +126,41 @@ def main(which):
         bench_scene("config5_csg", scene, cam,
                     RenderSettings(rows_per_tile=54, max_hits=24,
                                    containers_depth=4))
+    if "5aa" in which:
+        # The BASELINE.md spec for config 5 is 1920x1080 at AA=5: the
+        # reference sizes its camera width*aa x height*aa and box-
+        # downsamples (scene_builder_yaml.rs:392, canvas.rs:76-105) —
+        # a 9600x5400 supersampled raster, 51.8M primary rays, which
+        # exercises the buffer caps and tiling at full production
+        # scale. The downsample is included in the timed frame.
+        from rray_tpu.render import canvas as rcanvas
+        scene, cam = load(os.path.join(ex, "csg_showcase.yaml"),
+                          1920 * 5, 1080 * 5, f32)
+        import dataclasses
+
+        import jax.numpy as jnp
+        from rray_tpu.api import enable_compile_cache
+        enable_compile_cache()
+        from rray_tpu.render.integrator import render
+        from rray_tpu.utils.timing import measure_frame_seconds
+
+        settings = RenderSettings(rows_per_tile=54, max_hits=24,
+                                  containers_depth=4)
+
+        def render_scalar(jitter):
+            c = dataclasses.replace(
+                cam, half_width=cam.half_width + jitter * 1e-9)
+            img = render(scene, c, settings=settings)
+            return rcanvas.downsample(img, 5).sum()
+
+        sec = measure_frame_seconds(render_scalar, max_exec_seconds=8.0)
+        rays = 1920 * 5 * 1080 * 5
+        print(json.dumps({"metric": "config5_aa5_rays_per_s",
+                          "value": rays / sec, "unit": "rays/s",
+                          "frame_s": sec,
+                          "vs_baseline": (rays / sec) / 1e9}),
+              flush=True)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["1", "2", "3", "4", "4b", "5"])
+    main(sys.argv[1:] or ["1", "2", "3", "4", "4b", "5", "5aa"])

@@ -142,6 +142,36 @@ def main():
                                   "draws and predicates)",
                           "vs_baseline": float(da.max()) / 1e-3}),
               flush=True)
+    # Round-5 whitted extensions on real silicon: CSG parity filter,
+    # Mosaic-safe torus quartic, in-kernel Perlin, affine texture
+    # completion (polynomial atan2 uv). Tolerance is looser than the
+    # glass probe: the kernel's quartic (Newton cos(acos/3), exp/log
+    # cbrt) legitimately differs from XLA's trig solver by ~7e-4 in t,
+    # which moves shading slightly and can flip a texel/silhouette on a
+    # handful of pixels — gate on the >1e-2 FRACTION instead of max.
+    csg = os.path.join(BASE, "examples", "csg_showcase.yaml")
+    if os.path.exists(csg):
+        from rray_tpu.io.yaml_loader import load_scene_file
+
+        cam_spec, lights, shapes = load_scene_file(csg)
+        scene = compile_scene(shapes, lights, dtype=f32)
+        cam_h = Camera(192, 108, cam_spec["fov"])
+        cam_h.transform = cam_spec["transform"]
+        cam = compile_camera(cam_h, f32)
+        a = np.asarray(render(scene, cam, settings=RenderSettings(
+            rows_per_tile=54, max_hits=24, containers_depth=4,
+            pallas="on")))
+        b = np.asarray(render(scene, cam, settings=RenderSettings(
+            rows_per_tile=54, max_hits=24, containers_depth=4,
+            pallas="off")))
+        dc = np.abs(a - b)
+        print(json.dumps({"metric": "csg_kernel_parity_frac_gt_1e2",
+                          "value": float((dc > 1e-2).mean()),
+                          "unit": "fraction of subpixels (budget 2e-3)",
+                          "maxdiff": float(dc.max()),
+                          "median": float(np.median(dc)),
+                          "vs_baseline": float((dc > 1e-2).mean()) / 2e-3}),
+              flush=True)
     print(json.dumps(out), flush=True)
 
 

@@ -54,8 +54,16 @@ CONFIGS = (
      dict(rows_per_tile=180, max_hits=4, containers_depth=2), 0.02),
     ("config4", None, 240, 180,
      dict(rows_per_tile=180, max_hits=4, containers_depth=2), 0.01),
+    # config5's >2/255 pixels concentrate on the CSG cube's NOISE
+    # pattern (round-5 attribution: columns holding the cube account
+    # for ~85% of them): its pattern transform scales by 0.001, so
+    # pattern-space coordinates sit near 1000 where f32 quantization is
+    # ~6e-5 absolute — large enough to move 4-octave Perlin across
+    # color boundaries. CPU-f32-XLA measures the identical 1.41% vs
+    # f64, so there is NO device or kernel component; the budget is the
+    # measured f32-inherent floor plus slack.
     ("config5", "csg_showcase.yaml", 320, 180,
-     dict(rows_per_tile=36, max_hits=24, containers_depth=4), 0.01),
+     dict(rows_per_tile=36, max_hits=24, containers_depth=4), 0.02),
 )
 
 TEAPOT = "/root/reference/examples/teapot-low.obj"

@@ -100,6 +100,50 @@ class TestShowcaseParity:
     """The reference repo's own showcase renders — BASELINE.md's headline
     forward-parity target (example1.yaml:1-260, project_icon.yaml)."""
 
+    def test_area_light_tolerance(self):
+        """The 15th reference image: area_light.png (800x400) vs this
+        renderer, in TOLERANCE mode — the reference's area sampler is
+        thread_rng (light.rs:47-65), so penumbra pixels cannot match
+        any deterministic sampler bit-for-bit. Sampler-dependent pixels
+        are identified structurally: render twice with different SEEDS
+        and mask every pixel whose LINEAR color moved (this also
+        catches reflections of the penumbra — the floor is 0.8
+        reflective). Outside that mask the image must match the
+        reference PNG tightly; inside, the mean must stay near it
+        (the level^2 jittered-grid fraction has the same
+        distribution — scene.rs:181-214).
+
+        Measured (aa=3, f32): outside mask max 27/255, mean 0.64,
+        mask fraction 0.07, overall mean 0.66 — the out-of-mask
+        residual is f32 recursion noise through the 0.8-reflective
+        floor (B-channel matches exactly; hidden CSG/cube confirmed
+        absent from the PNG: un-hiding them measured 8x worse).
+        Tolerances a hair above measured."""
+        import scipy.ndimage as ndi
+
+        from rray_tpu.api import render_scene_from_file
+        from rray_tpu.render.canvas import to_u8
+        from PIL import Image
+
+        png = os.path.join(REF, "area_light.png")
+        yml = os.path.join(REF, "area_light.yaml")
+        if not os.path.exists(png):
+            pytest.skip("no reference fixture")
+        ref = np.asarray(Image.open(png).convert("RGB"), np.float64)
+        h, w = ref.shape[:2]
+        a = render_scene_from_file(yml, w, h, "", aa=3,
+                                   dtype=jnp.float32, seed=0)
+        b = render_scene_from_file(yml, w, h, "", aa=3,
+                                   dtype=jnp.float32, seed=1)
+        sens = np.abs(np.asarray(a) - np.asarray(b)).max(axis=-1) > 1e-7
+        mask = ndi.binary_dilation(sens, iterations=2)
+        assert mask.mean() <= 0.12, mask.mean()  # penumbra stays local
+        diff = np.abs(to_u8(a).astype(np.float64) - ref).max(axis=-1)
+        out = diff[~mask]
+        assert out.max() <= 40, out.max()
+        assert out.mean() <= 1.0, out.mean()
+        assert diff.mean() <= 1.2, diff.mean()
+
     def test_project_icon(self):
         """256x256 at aa=3, area light level 6 (36 jittered shadow
         samples), reflective checker floor; the CSG and cube are hidden

@@ -69,9 +69,16 @@ def main(which):
                    RenderSettings(rows_per_tile=300, max_hits=4,
                                   containers_depth=2))
     if "2" in which:
+        # rows_per_tile 300 (one tile): the backward's per-level
+        # residual traffic amortizes across the whole frame (swept:
+        # 13.1 ms bwd vs 15.7 at 150 / 17.2 at 75). The remaining
+        # ratio is structural: the XLA backward pays ~6 full-width
+        # level backwards while the kernel forward skips dead rows
+        # per block (full remat and scan-mode backwards both measured
+        # 3-6x WORSE).
         scene, cam = load(os.path.join(ex, "glass.yaml"), 400, 300, f32)
         bench_grad("config2", scene, cam,
-                   RenderSettings(rows_per_tile=75, max_hits=16,
+                   RenderSettings(rows_per_tile=300, max_hits=16,
                                   containers_depth=4))
     if "3" in which:  # area-light soft shadows (fractional-shadow grads)
         scene, cam = load(os.path.join(ex, "area_light.yaml"), 400, 300, f32)

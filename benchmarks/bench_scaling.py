@@ -81,6 +81,39 @@ def main():
                  "chip/host is reachable to time"),
     }), flush=True)
 
+    # Sharded TRAIN step (pjit-style sharding constraints + psum'd
+    # scene grads) vs the unsharded step on the same chip: the
+    # per-device overhead of the SPMD training path.
+    import optax
+
+    from rray_tpu.parallel import train as ptrain
+
+    optimizer = optax.adam(1e-2)
+    state, rest = ptrain.init_train_state(scene, optimizer)
+    target = jnp.zeros((cam.vsize, cam.hsize, 3), f32)
+    key = jax.random.PRNGKey(0)
+    times = {}
+    for tag, mesh_arg in (("plain", None), ("sharded", m)):
+        step = ptrain.make_train_step(rest, cam, settings, optimizer,
+                                      mesh=mesh_arg,
+                                      axis=pmesh.RAY_AXIS)
+        st0 = state
+
+        def one(jitter, step=step, st0=st0):
+            st1, loss = step(st0, target + jitter * 1e-12, key)
+            return loss
+
+        times[tag] = measure_frame_seconds(one)
+    eff_t = times["plain"] / times["sharded"]
+    print(json.dumps({
+        "metric": "train_step_efficiency_1chip",
+        "value": eff_t,
+        "unit": "ratio (plain_step_time / sharded_step_time)",
+        "plain_step_s": times["plain"],
+        "sharded_step_s": times["sharded"],
+        "vs_baseline": eff_t / 0.85,
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

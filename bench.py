@@ -117,7 +117,7 @@ def main():
             except Exception as e:  # one bad config must not kill the bench
                 suite[label] = f"error: {e}"[:200]
 
-        for cfg in ("2", "3", "4", "4b", "5", "5aa"):
+        for cfg in ("2", "3", "4", "4r", "4b", "5", "5aa"):
             capture(f"config{cfg}", lambda c=cfg: bench_suite.main([c]))
         # Named BASELINE metrics: backward/forward time ratio + 1-chip
         # SPMD (shard_map) efficiency.

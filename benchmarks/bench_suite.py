@@ -95,6 +95,35 @@ def main(which):
         bench_scene("config4_mesh", scene, cam,
                     RenderSettings(rows_per_tile=600, max_hits=4,
                                    containers_depth=2))
+    if "4r" in which:
+        # Config-4 variant with a REFLECTIVE floor: the round-5 mesh-
+        # fusion widening lets the whitted kernel carry the mesh fold
+        # through the width-1 reflection chain (scene.rs:159-178 over
+        # meshes) instead of falling back to the HBM-bound XLA node.
+        from rray_tpu import (Camera, Material, Pattern, PointLight, Shape,
+                              compile_camera, compile_scene)
+        from rray_tpu import mathutils as mu
+        from rray_tpu.io.obj_loader import load_obj_file
+
+        teapot = "/root/reference/examples/teapot-low.obj"
+        if os.path.exists(teapot):
+            mat = Material(pattern=Pattern.solid([0.7, 0.5, 0.2]))
+            mesh = load_obj_file(teapot, mat)
+            mesh.transform = mu.compose([mu.rotate_x(-np.pi / 2),
+                                         mu.scale(0.12, 0.12, 0.12)])
+            floor = Shape("plane", material=Material(
+                pattern=Pattern("checker", a=Pattern.solid([1.0, 1.0, 1.0]),
+                                b=Pattern.solid([0.2, 0.2, 0.2])),
+                specular=0.0, reflective=0.3))
+            light = PointLight(np.array([-10.0, 10.0, -10.0]), np.ones(3))
+            scene = compile_scene([floor, mesh], [light], dtype=f32)
+            cam_h = Camera(800, 600, np.pi / 3)
+            cam_h.transform = mu.view_transform([0, 1.5, -4], [0, 0.7, 0],
+                                                [0, 1, 0])
+            cam = compile_camera(cam_h, f32)
+            bench_scene("config4r_mesh_reflective", scene, cam,
+                        RenderSettings(rows_per_tile=600, max_hits=4,
+                                       containers_depth=2))
     if "4b" in which:  # full teapot: the production BVH kernel path
         from rray_tpu import (Camera, Material, Pattern, PointLight, Shape,
                               compile_camera, compile_scene)
@@ -163,4 +192,4 @@ def main(which):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["1", "2", "3", "4", "4b", "5", "5aa"])
+    main(sys.argv[1:] or ["1", "2", "3", "4", "4r", "4b", "5", "5aa"])

@@ -116,16 +116,15 @@ def applicable(scene, settings, dtype) -> bool:
     if not soa._use_pallas(settings, dtype):
         return False
     if scene.counts[6]:
-        # Mesh gating: the SMEM table bounds T; bounce chains would
-        # replicate the unrolled triangle fold per level (compile blow-
-        # up) and the refraction n1/n2 crossing folds would need every
-        # mesh slot, so meshes fuse only on the depth-0 path; area
-        # lights would rerun the mesh any-hit per shadow sample.
+        # Mesh gating: the SMEM table bounds T, and the refraction
+        # n1/n2 crossing folds would need every mesh slot — so no
+        # transparency. Reflection chains (width-1: the mesh fold +
+        # shadows replicate per level under the static level loop) and
+        # area lights (the mesh any-hit runs per shadow sample, gated
+        # per chunk by pl.when) fuse as of round 5.
         if scene.counts[6] > MESH_MAX_TRIS:
             return False
-        if scene.has_reflective or scene.has_transparent:
-            return False
-        if not all(light.kind == "point" for light in scene.lights):
+        if scene.has_transparent:
             return False
         if len(_tri_groups(scene)[1]) > 8:
             return False  # material/pattern selects unroll per group

@@ -229,11 +229,20 @@ def _color_at_soa(scene: sd.SceneData, ro: V3, rd: V3, remaining: int,
     in XLA (config1: 10 G rays/s) and a kernel's I/O materialization
     would only slow them down."""
     from ..kernels import whitted as kwhit
-    if (kwhit.applicable(scene, settings, ro.dtype)
+    take = (kwhit.applicable(scene, settings, ro.dtype)
             and (scene.counts[6] or scene.counts[5]
                  or any(light.kind == "area" for light in scene.lights)
                  or not all(kwhit._tree_cheap(p)
-                            for p in scene.patterns))):
+                            for p in scene.patterns)))
+    if (take and scene.counts[6] and scene.has_reflective
+            and getattr(settings, "pallas", "off") == "auto"):
+        # CAN fuse, but measured slower: the in-kernel mesh fold
+        # replays per bounce level (44 M) while the XLA node pays only
+        # live-tile triangle kernels (56 M on the reflective-floor
+        # teapot). pallas="on"/"interpret" still force the fused path
+        # (capability + A/B tests); "auto" picks the faster one.
+        take = False
+    if take:
         outs = _whitted_kernel_call(
             scene, (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z), key, remaining,
             settings)

@@ -177,9 +177,13 @@ class TestWhittedKernel:
             np.testing.assert_allclose(np.asarray(lk), np.asarray(lx),
                                        atol=2e-3)
 
-        # Gating: a reflective floor pushes mesh scenes off the kernel.
+        # Gating: transparency pushes mesh scenes off the kernel (the
+        # n1/n2 folds would need every mesh slot); reflective meshes
+        # fuse since round 5.
         refl = dataclasses.replace(scene, has_reflective=True)
-        assert not kwhit.applicable(refl, st_i, jnp.float32)
+        assert kwhit.applicable(refl, st_i, jnp.float32)
+        refr = dataclasses.replace(scene, has_transparent=True)
+        assert not kwhit.applicable(refr, st_i, jnp.float32)
 
     def test_area_scene_matches_xla(self):
         """area_light.yaml through the fused kernel (fast path, depth
@@ -344,6 +348,55 @@ class TestWhittedKernel:
         d = np.abs(a - b).max(axis=2)
         assert float((d > 1e-3).mean()) < 5e-3, float((d > 1e-3).mean())
         assert np.median(np.abs(a - b)) < 1e-6
+
+    def test_reflective_and_area_mesh_match_xla(self):
+        """Round-5 mesh-fusion widening: a REFLECTIVE floor under the
+        mesh (width-1 bounce chain — the mesh fold replicates per
+        level) and an AREA light over the mesh (the chunk-gated mesh
+        any-hit runs per shadow sample) must both ride the kernel and
+        match the XLA paths."""
+        from rray_tpu import (AreaLight, Camera, Material, Pattern,
+                              PointLight, RenderSettings, Shape,
+                              compile_camera, compile_scene)
+        from rray_tpu import mathutils as mu
+        from rray_tpu.io.obj_loader import load_obj_str
+        from rray_tpu.kernels import whitted as kwhit
+        from rray_tpu.render.integrator import render
+
+        def tet():
+            return load_obj_str(
+                "v 0 1.6 -0.2\nv 0.9 0.3 -0.7\nv -0.9 0.3 -0.7\n"
+                "v 0 0.3 1.0\nf 1 2 3\nf 1 3 4\nf 1 4 2\nf 2 4 3\n",
+                Material(pattern=Pattern.solid([0.7, 0.5, 0.2])))
+
+        cam_h = Camera(48, 36, np.pi / 3)
+        cam_h.transform = mu.view_transform([0, 1.5, -5], [0, 1, 0],
+                                            [0, 1, 0])
+        cam = compile_camera(cam_h, jnp.float32)
+        st_i = RenderSettings(rows_per_tile=36, pallas="interpret")
+        st_o = RenderSettings(rows_per_tile=36, pallas="off")
+
+        refl_floor = Shape("plane", material=Material(
+            pattern=Pattern.solid([0.9, 0.9, 1.0]), specular=0.0,
+            reflective=0.4))
+        point = PointLight(np.array([-10.0, 10.0, -10.0]), np.ones(3))
+        scene = compile_scene([refl_floor, tet()], [point],
+                              dtype=jnp.float32)
+        assert kwhit.applicable(scene, st_i, jnp.float32)
+        a = np.asarray(render(scene, cam, settings=st_o))
+        b = np.asarray(render(scene, cam, settings=st_i))
+        np.testing.assert_allclose(a, b, atol=2e-6)
+
+        floor = Shape("plane", material=Material(
+            pattern=Pattern.solid([0.9, 0.9, 1.0]), specular=0.0))
+        area = AreaLight(np.array([-6.0, 8.0, -4.0]),
+                         np.array([2.0, 0.0, 0.0]),
+                         np.array([0.0, 2.0, 0.0]), np.ones(3), level=3)
+        scene = compile_scene([floor, tet()], [area], dtype=jnp.float32)
+        assert kwhit.applicable(scene, st_i, jnp.float32)
+        a = np.asarray(render(scene, cam, settings=st_o))
+        b = np.asarray(render(scene, cam, settings=st_i))
+        np.testing.assert_allclose(a, b, atol=2e-6)
 
     def test_csg_cutout_does_not_shadow(self):
         """A difference CSG's removed region must not occlude shadow

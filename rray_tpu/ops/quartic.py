@@ -10,6 +10,7 @@ t > 0 filter (torus.rs:62-90).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _TINY = 1e-12
@@ -18,6 +19,53 @@ _TINY = 1e-12
 def _safe_div(a, b):
     denom = jnp.where(jnp.abs(b) < _TINY, jnp.where(b < 0, -_TINY, _TINY), b)
     return a / denom
+
+
+@jax.custom_jvp
+def _gsqrt(x):
+    """sqrt with a CLAMPED derivative: sqrt'(0) = inf, and the solver
+    evaluates sqrt at exact zeros on its inactive branches (disc = 0,
+    y = 0 resolvent roots) whose values are masked by jnp.where — but
+    0 * inf = NaN in the cotangent, which poisoned every torus-scene
+    gradient (round-5 dryrun). Primal values are EXACT."""
+    return jnp.sqrt(x)
+
+
+@_gsqrt.defjvp
+def _gsqrt_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    y = jnp.sqrt(x)
+    return y, t * (0.5 / jnp.maximum(y, 1e-12))
+
+
+@jax.custom_jvp
+def _gcbrt(x):
+    """cbrt with a clamped derivative (cbrt'(0) = inf; same NaN trap
+    as _gsqrt). Primal values are EXACT."""
+    return jnp.cbrt(x)
+
+
+@_gcbrt.defjvp
+def _gcbrt_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    y = jnp.cbrt(x)
+    return y, t / jnp.maximum(3.0 * y * y, 1e-12)
+
+
+@jax.custom_jvp
+def _gacos(x):
+    """arccos with a clamped derivative (arccos'(±1) = ∓inf; the
+    resolvent's argument clips to exactly ±1 whenever the cubic
+    discriminant lands on 0 — same masked-branch NaN trap as _gsqrt).
+    Primal values are EXACT."""
+    return jnp.arccos(x)
+
+
+@_gacos.defjvp
+def _gacos_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    d = -1.0 / _gsqrt(jnp.maximum(1.0 - x * x, 1e-12))
+    return jnp.arccos(x), t * d
 
 
 def _cos_third_acos(arg):
@@ -60,20 +108,20 @@ def _largest_real_cubic_root(b, c, d, safe_transcendentals=False):
 
     # --- three real roots (p <= 0 here) ---
     p_neg = jnp.minimum(p, -_TINY)
-    m = 2.0 * jnp.sqrt(-p_neg / 3.0)
+    m = 2.0 * _gsqrt(-p_neg / 3.0)
     arg = jnp.clip(3.0 * q / (p_neg * m), -1.0, 1.0)
     if safe_transcendentals:
         w_tri = m * _cos_third_acos(arg)
     else:
-        theta = jnp.arccos(arg) / 3.0
+        theta = _gacos(arg) / 3.0
         w_tri = m * jnp.cos(theta)  # k=0 branch gives the largest root
 
     # --- one real root (Cardano) ---
     disc_pos = jnp.maximum(disc / 108.0, 0.0)  # (q/2)^2 + (p/3)^3
-    sq = jnp.sqrt(disc_pos)
+    sq = _gsqrt(disc_pos)
     u3 = -q / 2.0 + sq
     v3 = -q / 2.0 - sq
-    cbrt = _cbrt_safe if safe_transcendentals else jnp.cbrt
+    cbrt = _cbrt_safe if safe_transcendentals else _gcbrt
     w_card = cbrt(u3) + cbrt(v3)
 
     w = jnp.where(three_real, w_tri, w_card)
@@ -84,7 +132,7 @@ def _quadratic(b, c):
     """Roots of x^2 + b x + c, with validity mask."""
     disc = b * b - 4.0 * c
     ok = disc >= 0.0
-    s = jnp.sqrt(jnp.maximum(disc, 0.0))
+    s = _gsqrt(jnp.maximum(disc, 0.0))
     # Numerically stable pairing.
     qq = -0.5 * (b + jnp.sign(b) * s)
     r1 = jnp.where(jnp.abs(b) < _TINY, -0.5 * s, qq)
@@ -117,7 +165,7 @@ def solve_quartic_parts(c4, c3, c2, c1, c0, polish_iters: int = 3,
     y = _largest_real_cubic_root(2.0 * p, p * p - 4.0 * r, -q * q,
                                  safe_transcendentals)
     y = jnp.maximum(y, 0.0)
-    s = jnp.sqrt(y)
+    s = _gsqrt(y)
 
     biquad = s < 1e-6
     # General Ferrari factorization: (u^2 + s u + t1)(u^2 - s u + t2)
@@ -132,8 +180,8 @@ def solve_quartic_parts(c4, c3, c2, c1, c0, polish_iters: int = 3,
     z1, z2, okz = _quadratic(p, r)
     bq1ok = okz & (z1 >= 0.0)
     bq2ok = okz & (z2 >= 0.0)
-    sz1 = jnp.sqrt(jnp.maximum(z1, 0.0))
-    sz2 = jnp.sqrt(jnp.maximum(z2, 0.0))
+    sz1 = _gsqrt(jnp.maximum(z1, 0.0))
+    sz2 = _gsqrt(jnp.maximum(z2, 0.0))
 
     shift = b / 4.0
     roots = [

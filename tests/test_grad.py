@@ -116,6 +116,46 @@ class TestFiniteDifference:
         assert abs(auto - fd) <= 1e-4 * max(1.0, abs(fd)), (auto, fd)
 
 
+class TestTorusGrad:
+    def test_torus_radius_finite_difference(self):
+        """Quartic differentiability: sqrt/cbrt/arccos all hit their
+        infinite-derivative points on masked branches (disc = 0,
+        arg = ±1), and 0 * inf = NaN poisoned every torus-scene
+        gradient until the _gsqrt/_gcbrt/_gacos clamped-JVP forms
+        (round 5). Pins: all leaves finite, and d(loss)/d(minor_radius)
+        matches central finite differences."""
+        floor = Shape("plane", material=Material(
+            pattern=Pattern.solid([0.9, 0.9, 0.9]), specular=0.0))
+        torus = Shape("torus", minor_radius=0.3,
+                      transform=mu.compose([mu.translate(0, 0.3, 0),
+                                            mu.rotate_x(np.pi / 2)]),
+                      material=Material(
+                          pattern=Pattern.solid([0.7, 0.3, 0.2]),
+                          specular=0.0))
+        light = PointLight(np.array([-10.0, 10.0, -10.0]), np.ones(3))
+        scene = compile_scene([floor, torus], [light], dtype=jnp.float64)
+        cam_h = Camera(24, 16, np.pi / 3)
+        cam_h.transform = mu.view_transform([0, 1.5, -4], [0, 0.5, 0],
+                                            [0, 1, 0])
+        cam = compile_camera(cam_h, jnp.float64)
+        st = dataclasses.replace(SET, max_hits=8, containers_depth=4)
+
+        def loss(s):
+            return jnp.mean(render(s, cam, settings=st) ** 2)
+
+        g = jax.grad(loss, allow_int=True)(scene)
+        for leaf in jax.tree_util.tree_leaves(g):
+            if hasattr(leaf, "dtype") and \
+                    jnp.issubdtype(leaf.dtype, jnp.floating) and leaf.size:
+                assert bool(jnp.isfinite(leaf).all())
+        auto = float(g.tor_r[0])
+        eps = 1e-6
+        bump = lambda d: dataclasses.replace(
+            scene, tor_r=scene.tor_r.at[0].add(d))
+        fd = float((loss(bump(eps)) - loss(bump(-eps))) / (2 * eps))
+        assert abs(auto - fd) <= 1e-5 * max(1.0, abs(fd)), (auto, fd)
+
+
 class TestInverseRendering:
     def test_training_reduces_loss(self):
         scene, cam = small_setup()

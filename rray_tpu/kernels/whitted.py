@@ -146,6 +146,8 @@ def applicable(scene, settings, dtype) -> bool:
             return False
         if any(_n_images(p) > 1 for p in scene.patterns):
             return False
+        if _total_texels(scene) >= (1 << 24):
+            return False  # flat texel indices must be exact in f32
         for pid, kind in enumerate(scene.prim_kinds):
             pat = scene.prim_pattern_static[pid]
             if kind == sd.TRIANGLE and pat < len(scene.patterns) \
@@ -195,13 +197,18 @@ def pack_prims(scene):
 
 def pack_patterns(scene):
     """Flatten every fusable pattern tree into one [N, 17] f32 table
-    plus static per-root descriptors (ptype, row, octaves, a_descr,
-    b_descr).
+    plus static per-root descriptors (ptype, row, meta, a_descr,
+    b_descr). `meta` is the octave count for noise/perturbed nodes and
+    the (H, W, texel_offset) triple for image leaves — offsets
+    partition one flat texel-index space across every image in the
+    scene, so the kernel emits ONE f32 index channel (exact below 2^24)
+    instead of (u, v, root) triples.
 
     Node row layout: 0-11 inv affine [3,4], 12-14 color, 15 scale,
     16 persistence."""
     rows = []
     descrs = []
+    tex_off = [0]
 
     def walk(node):
         if node is None:
@@ -213,12 +220,34 @@ def pack_patterns(scene):
             jnp.asarray(node.scale, jnp.float32).reshape(1),
             jnp.asarray(node.persistence, jnp.float32).reshape(1),
         ]))
-        return (node.ptype, idx, int(node.octaves), walk(node.a),
-                walk(node.b))
+        if node.ptype == "image":
+            h, w = int(node.texture.shape[0]), int(node.texture.shape[1])
+            meta = (h, w, tex_off[0])
+            tex_off[0] += h * w
+        else:
+            meta = int(node.octaves)
+        return (node.ptype, idx, meta, walk(node.a), walk(node.b))
 
     for root in scene.patterns:
         descrs.append(walk(root))
     return jnp.stack(rows), tuple(descrs)
+
+
+def _total_texels(scene) -> int:
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        if node is None:
+            return
+        if node.ptype == "image":
+            total += int(node.texture.shape[0]) * int(node.texture.shape[1])
+        walk(node.a)
+        walk(node.b)
+
+    for root in scene.patterns:
+        walk(root)
+    return total
 
 
 def csg_meta(scene):
@@ -561,40 +590,47 @@ def _eval_pattern_tex(descr, pat, pts: V3, uv_fn):
     """shade_soa.eval_pattern, SMEM coefficients, extended with the
     affine texture-completion contract.
 
-    Returns (color V3, coeff, u, v) where coeff/u/v are None for
+    Returns (color V3, coeff, texidx) where coeff/texidx are None for
     image-free subtrees (static). Every pattern combinator is AFFINE in
     its children's color values with channel-independent weights
     (selects, lerps, blends, +-noise scaling), so a tree with one image
     leaf evaluates exactly as `color0 + coeff * texel`: color0 is the
     tree with the leaf at 0 and coeff is the accumulated scalar weight
-    along the leaf's path. (u, v) is the winner-shape uv of the leaf's
-    pattern-space point (pattern.rs:209-213), routed up statically —
+    along the leaf's path. `texidx` is the leaf's FLAT texel index
+    (offset-partitioned across all scene textures, exact in f32 below
+    2^24) computed from the winner-shape uv of the leaf's pattern-space
+    point with _sample_texture's exact clamp/flip arithmetic
+    (pattern.rs:209-213, texture.rs:32-54), routed up statically —
     applicable() caps trees at one image leaf."""
     from ..ops import noise as fnl
-    ptype, idx, octaves, da, db = descr
+    ptype, idx, meta, da, db = descr
     g = lambda k: pat[idx, k]
     if ptype == "solid":
         like = jnp.ones_like(pts.x)
-        return V3(g(12) * like, g(13) * like, g(14) * like), None, None, \
-            None
+        return V3(g(12) * like, g(13) * like, g(14) * like), None, None
     p = V3(g(0) * pts.x + g(1) * pts.y + g(2) * pts.z + g(3),
            g(4) * pts.x + g(5) * pts.y + g(6) * pts.z + g(7),
            g(8) * pts.x + g(9) * pts.y + g(10) * pts.z + g(11))
     if ptype == "image":
         uu, vv = uv_fn(p)
+        h, w, off = meta
+        uu = jnp.clip(uu, 0.0, 1.0)
+        vv = jnp.clip(vv, 0.0, 1.0)
+        xi = jnp.minimum((uu * w).astype(jnp.int32), w - 1)
+        yi = (h - 1) - jnp.minimum((vv * h).astype(jnp.int32), h - 1)
+        texidx = (yi * w + xi + off).astype(p.x.dtype)
         z = jnp.zeros_like(p.x)
-        return V3(z, z, z), jnp.ones_like(p.x), uu, vv
+        return V3(z, z, z), jnp.ones_like(p.x), texidx
     if ptype == "perturbed":
         sc = g(15)
         per = g(16)
-        nx = fnl.octave_perlin(p.x, p.y, p.z, octaves, per) * sc
-        ny = fnl.octave_perlin(p.x, p.y, p.z + 1.0, octaves, per) * sc
-        nz = fnl.octave_perlin(p.x, p.y, p.z + 2.0, octaves, per) * sc
+        nx = fnl.octave_perlin(p.x, p.y, p.z, meta, per) * sc
+        ny = fnl.octave_perlin(p.x, p.y, p.z + 1.0, meta, per) * sc
+        nz = fnl.octave_perlin(p.x, p.y, p.z + 2.0, meta, per) * sc
         return _eval_pattern_tex(da, pat, p + V3(nx, ny, nz), uv_fn)
-    a, ca, ua, va = _eval_pattern_tex(da, pat, p, uv_fn)
-    b, cb, ub, vb = _eval_pattern_tex(db, pat, p, uv_fn)
-    uu = ua if ua is not None else ub
-    vv = va if va is not None else vb
+    a, ca, ia = _eval_pattern_tex(da, pat, p, uv_fn)
+    b, cb, ib = _eval_pattern_tex(db, pat, p, uv_fn)
+    ii = ia if ia is not None else ib
 
     def combine(wa, wb):
         """coeff under affine child weights (None coeff = statically 0)."""
@@ -607,18 +643,18 @@ def _eval_pattern_tex(descr, pat, pts: V3, uv_fn):
 
     if ptype == "gradient":
         frac = p.x - jnp.floor(p.x)
-        return a + (b - a) * frac, combine(1.0 - frac, frac), uu, vv
+        return a + (b - a) * frac, combine(1.0 - frac, frac), ii
     if ptype == "blend":
         s = g(15)
-        return a * (1.0 - s) + b * s, combine(1.0 - s, s), uu, vv
+        return a * (1.0 - s) + b * s, combine(1.0 - s, s), ii
     if ptype == "noise":
-        n = fnl.octave_perlin(p.x, p.y, p.z, octaves, g(16)) * g(15)
+        n = fnl.octave_perlin(p.x, p.y, p.z, meta, g(16)) * g(15)
         neg = n <= 0.0
         col = V3(jnp.where(neg, a.x * -n, b.x * n),
                  jnp.where(neg, a.y * -n, b.y * n),
                  jnp.where(neg, a.z * -n, b.z * n))
         negf = neg.astype(n.dtype)
-        return col, combine(-n * negf, n * (1.0 - negf)), uu, vv
+        return col, combine(-n * negf, n * (1.0 - negf)), ii
     if ptype == "stripe":
         cond = jnp.mod(jnp.floor(p.x), 2.0) == 0.0
     elif ptype == "ring":
@@ -630,12 +666,12 @@ def _eval_pattern_tex(descr, pat, pts: V3, uv_fn):
     condf = cond.astype(pts.x.dtype)
     col = V3(jnp.where(cond, a.x, b.x), jnp.where(cond, a.y, b.y),
              jnp.where(cond, a.z, b.z))
-    return col, combine(condf, 1.0 - condf), uu, vv
+    return col, combine(condf, 1.0 - condf), ii
 
 
 def _eval_pattern(descr, pat, pts: V3) -> V3:
     """Color-only pattern eval (image-free trees)."""
-    col, _, _, _ = _eval_pattern_tex(descr, pat, pts, None)
+    col, _, _ = _eval_pattern_tex(descr, pat, pts, None)
     return col
 
 
@@ -982,13 +1018,11 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, cmeta, textured, level,
     # measured ~1 ms of read-modify-write VMEM traffic per 1080p
     # frame).
     zeroR_ = jnp.zeros_like(o.x)
-    coeff = tex_u = tex_v = tex_root = None
+    coeff = tex_idx = None
     bx = by = bz = zeroR_
     if textured:
         coeff = zeroR_
-        tex_u = zeroR_
-        tex_v = zeroR_
-        tex_root = zeroR_ - 1.0
+        tex_idx = zeroR_ - 1.0
 
     def eval_prim(i):
         pr = reader(i)
@@ -1002,37 +1036,29 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, cmeta, textured, level,
     for i in analytic:
         if use_scratch and i in exp_ids:
             continue
-        col, co, uu, vv = eval_prim(i)
+        col, co, ti = eval_prim(i)
         bx = jnp.where(win[i], col.x, bx)
         by = jnp.where(win[i], col.y, by)
         bz = jnp.where(win[i], col.z, bz)
         if textured and co is not None:
             coeff = jnp.where(win[i], co, coeff)
-            tex_u = jnp.where(win[i], uu, tex_u)
-            tex_v = jnp.where(win[i], vv, tex_v)
-            tex_root = jnp.where(win[i], float(prim_pat[i]) + zeroR_,
-                                 tex_root)
+            tex_idx = jnp.where(win[i], ti, tex_idx)
     if use_scratch:
         for ref in prefs[:3]:
             ref[...] = zeroR_
         if textured:
-            for ref in prefs[3:6]:
-                ref[...] = zeroR_
-            prefs[6][...] = zeroR_ - 1.0
+            prefs[3][...] = zeroR_
+            prefs[4][...] = zeroR_ - 1.0
         for i in exp_ids:
             @pl.when(jnp.any(win[i]))
             def _(i=i):
-                col, co, uu, vv = eval_prim(i)
+                col, co, ti = eval_prim(i)
                 prefs[0][...] = jnp.where(win[i], col.x, prefs[0][...])
                 prefs[1][...] = jnp.where(win[i], col.y, prefs[1][...])
                 prefs[2][...] = jnp.where(win[i], col.z, prefs[2][...])
                 if textured and co is not None:
                     prefs[3][...] = jnp.where(win[i], co, prefs[3][...])
-                    prefs[4][...] = jnp.where(win[i], uu, prefs[4][...])
-                    prefs[5][...] = jnp.where(win[i], vv, prefs[5][...])
-                    prefs[6][...] = jnp.where(
-                        win[i], float(prim_pat[i]) + zeroR_,
-                        prefs[6][...])
+                    prefs[4][...] = jnp.where(win[i], ti, prefs[4][...])
         exp_any = false
         for i in exp_ids:
             exp_any = exp_any | win[i]
@@ -1041,9 +1067,7 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, cmeta, textured, level,
         bz = jnp.where(exp_any, prefs[2][...], bz)
         if textured:
             coeff = jnp.where(exp_any, prefs[3][...], coeff)
-            tex_u = jnp.where(exp_any, prefs[4][...], tex_u)
-            tex_v = jnp.where(exp_any, prefs[5][...], tex_v)
-            tex_root = jnp.where(exp_any, prefs[6][...], tex_root)
+            tex_idx = jnp.where(exp_any, prefs[4][...], tex_idx)
     base = V3(bx, by, bz)
     if mesh_win is not None:
         for gid, rep in enumerate(mreps):
@@ -1103,8 +1127,14 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, cmeta, textured, level,
             occ = mocc_ref[...] != 0.0
         return occ
 
+    # Single-light scenes accumulate the scalar base-weight only (3
+    # fewer live tiles in a register-starved kernel); the intensity
+    # multiply happens once at the end.
+    single_light = len(lmeta) == 1
+    texw = jnp.zeros_like(o.x) if (textured and single_light) else None
     texa = V3(jnp.zeros_like(o.x), jnp.zeros_like(o.x),
-              jnp.zeros_like(o.x)) if textured else None
+              jnp.zeros_like(o.x)) if (textured
+                                       and not single_light) else None
     for li, (lkind, llevel) in enumerate(lmeta):
         L = lambda j: lights[li, j]
         if lkind == "point":
@@ -1159,19 +1189,23 @@ def _node_row(kinds, pat_descrs, prim_pat, lmeta, cmeta, textured, level,
             # (specular is base-free), so surface is affine in base and
             # the image texel completes as texel * (texa * coeff).
             w_base = amb + dscale * unshadow
-            texa = V3(texa.x + L(3) * w_base, texa.y + L(4) * w_base,
-                      texa.z + L(5) * w_base)
+            if single_light:
+                texw = texw + w_base
+            else:
+                texa = V3(texa.x + L(3) * w_base, texa.y + L(4) * w_base,
+                          texa.z + L(5) * w_base)
     surface = V3(jnp.where(found, surface.x, 0.0),
                  jnp.where(found, surface.y, 0.0),
                  jnp.where(found, surface.z, 0.0))
     tex = None
     if textured:
-        mfound = found
-        texmul = V3(jnp.where(mfound, texa.x * coeff, 0.0),
-                    jnp.where(mfound, texa.y * coeff, 0.0),
-                    jnp.where(mfound, texa.z * coeff, 0.0))
-        tex = (texmul, tex_u, tex_v,
-               jnp.where(mfound, tex_root, -1.0))
+        if single_light:
+            L0 = lambda j: lights[0, j]
+            texa = V3(L0(3) * texw, L0(4) * texw, L0(5) * texw)
+        texmul = V3(jnp.where(found, texa.x * coeff, 0.0),
+                    jnp.where(found, texa.y * coeff, 0.0),
+                    jnp.where(found, texa.z * coeff, 0.0))
+        tex = (texmul, jnp.where(found, tex_idx, -1.0))
 
     reflective = jnp.where(found, mat(28), 0.0)
     transparency = jnp.where(found, mat(29), 0.0)
@@ -1229,14 +1263,14 @@ def _kernel(kinds, pat_descrs, prim_pat, lmeta, cmeta, textured, mesh,
     outr, outg, outb = refs[:3]
     del refs[:3]
     if textured:
-        otmr, otmg, otmb, otu, otv, oroot = refs[:6]
-        del refs[:6]
+        otmr, otmg, otmb, otidx = refs[:4]
+        del refs[:4]
     st, child, acc = refs[:3]
     del refs[:3]
     any_exp = any(_descr_expensive(d) for d in pat_descrs)
     prefs = None
     if any_exp:
-        n_pref = 3 + (4 if textured else 0)
+        n_pref = 3 + (2 if textured else 0)
         prefs = tuple(refs[:n_pref])
         del refs[:n_pref]
     has_torus = any(k == sd.TORUS for k in kinds)
@@ -1276,9 +1310,9 @@ def _kernel(kinds, pat_descrs, prim_pat, lmeta, cmeta, textured, mesh,
     for c in range(3):
         acc[c * SUB:(c + 1) * SUB, :] = zero
     if textured:
-        for ref in (otmr, otmg, otmb, otu, otv):
+        for ref in (otmr, otmg, otmb):
             ref[:, :] = zero
-        oroot[:, :] = zero - 1.0
+        otidx[:, :] = zero - 1.0
 
     for level in range(depth + 1):
         last = level == depth
@@ -1315,13 +1349,11 @@ def _kernel(kinds, pat_descrs, prim_pat, lmeta, cmeta, textured, mesh,
                         # depth-0 single node (applicable() gates):
                         # weight is 1, so the completion channels write
                         # straight through.
-                        texmul, tu, tv, troot = tex
+                        texmul, tidx = tex
                         otmr[:, :] = texmul.x
                         otmg[:, :] = texmul.y
                         otmb[:, :] = texmul.z
-                        otu[:, :] = tu
-                        otv[:, :] = tv
-                        oroot[:, :] = troot
+                        otidx[:, :] = tidx
                     if spawn_here:
                         first = (over, reflectv, w * refl_w) if has_refl \
                             else (under, refr_dir, w * refr_w)
@@ -1370,7 +1402,7 @@ def whitted_compact(ro_comps, rd_comps, prim_tbl, pat_tbl, light_tbl,
                     tri_tbl=None, tri_boxes=None, mesh=(0, ()),
                     csg=((), ()), textured: bool = False,
                     interpret: bool = False):
-    """Fused Whitted evaluation -> (r, g, b[, texmul rgb, u, v, root])
+    """Fused Whitted evaluation -> (r, g, b[, texmul rgb, texidx])
     [R] f32 tuples.
 
     ro/rd_comps: 3-tuples of [R] f32; prim_tbl [P,32], pat_tbl [N,17],
@@ -1378,9 +1410,9 @@ def whitted_compact(ro_comps, rd_comps, prim_tbl, pat_tbl, light_tbl,
     per-light jitter seeds (the XLA fold_in chain evaluated host-side);
     statics mirror the scene structure (lmeta from light_meta(), mesh
     from mesh_meta() with tri_tbl/tri_boxes from pack_tris(), csg from
-    csg_meta()). textured=True (depth-0 only) appends the 6 affine
-    texture-completion channels; the caller adds `texel(u, v) * texmul`
-    per image-pattern root.
+    csg_meta()). textured=True (depth-0 only) appends the 4 affine
+    texture-completion channels (multiplier rgb + flat texel index);
+    the caller adds `texel[texidx] * texmul`.
     """
     assert not (textured and depth > 0), \
         "texture completion is wired for the depth-0 node only"
@@ -1420,7 +1452,7 @@ def whitted_compact(ro_comps, rd_comps, prim_tbl, pat_tbl, light_tbl,
     # — pl.when-skipped expensive trees write through these.
     if any(_descr_expensive(d) for d in pat_descrs):
         scratch += [pltpu.VMEM((SUB, BR), f32)
-                    for _ in range(3 + (4 if textured else 0))]
+                    for _ in range(3 + (2 if textured else 0))]
     if any(k == sd.TORUS for k in kinds):
         # 4 quartic roots + 4 validity masks for the guarded torus solve.
         scratch += [pltpu.VMEM((SUB, BR), f32) for _ in range(8)]
@@ -1428,7 +1460,7 @@ def whitted_compact(ro_comps, rd_comps, prim_tbl, pat_tbl, light_tbl,
         # 5 mesh closest-hit accumulators (t, nx, ny, nz, prim) + 1
         # shadow-occlusion accumulator, each one (SUB, BR) tile.
         scratch += [pltpu.VMEM((SUB, BR), f32) for _ in range(6)]
-    n_out = 3 + (6 if textured else 0)
+    n_out = 3 + (4 if textured else 0)
     outs = pl.pallas_call(
         functools.partial(_kernel, kinds, pat_descrs, prim_pat, lmeta,
                           csg, textured, mesh, depth, W, has_refl,

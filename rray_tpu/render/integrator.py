@@ -965,16 +965,17 @@ def _whitted_kernel_call(scene, rays, key, remaining, settings):
         interpret=getattr(settings, "pallas", "off") == "interpret")
     if not textured:
         return outs
-    # Affine texture completion: the kernel emits per-ray (u, v, root,
-    # multiplier); every pattern combinator and the base-color Phong
-    # path are affine in the image leaf's value, so adding
-    # texel * multiplier reproduces the XLA pattern_at exactly
-    # (pattern.rs:209-213, texture.rs:32-54). The row-gather runs per
-    # 4096-ray CHUNK under lax.cond — textures are screen-local, and a
-    # whole-tile cond (103k rays) still fetched ~2 ms of texels per
-    # 1080p frame for the torus's few percent of pixels; swizzled block
-    # order (render() swizzles textured scenes) keeps chunks spatially
-    # tight so most skip.
+    # Affine texture completion: the kernel emits per-ray (multiplier
+    # rgb, FLAT texel index — offset-partitioned across the scene's
+    # textures, -1 for untextured rays); every pattern combinator and
+    # the base-color Phong path are affine in the image leaf's value,
+    # so adding texel * multiplier reproduces the XLA pattern_at
+    # exactly (pattern.rs:209-213, texture.rs:32-54). The row-gather
+    # runs per 4096-ray CHUNK under lax.cond — textures are
+    # screen-local, and a whole-tile cond (103k rays) still fetched
+    # ~2 ms of texels per 1080p frame for the torus's few percent of
+    # pixels; swizzled block order (render() swizzles textured scenes)
+    # keeps chunks spatially tight so most skip.
     from ..render import shade_soa
 
     def image_node(node):
@@ -984,9 +985,16 @@ def _whitted_kernel_call(scene, rays, key, remaining, settings):
             return node
         return image_node(node.a) or image_node(node.b)
 
-    roots = [(rid, image_node(root))
-             for rid, root in enumerate(scene.patterns)
-             if image_node(root) is not None]
+    # Offset partition in pack_patterns' walk order (pre-order per root).
+    roots = []
+    off = 0
+    for root in scene.patterns:
+        node = image_node(root)
+        if node is None:
+            continue
+        n = int(node.texture.shape[0]) * int(node.texture.shape[1])
+        roots.append((off, n, node))
+        off += n
     r = outs[0]
     R = r.shape[0]
     CH = min(_COMPLETION_CH, R)
@@ -999,19 +1007,21 @@ def _whitted_kernel_call(scene, rays, key, remaining, settings):
     # spares texture-free tiles even the pad/reshape/concat copies.
     def completion(_):
         arrs = [jnp.pad(a, (0, padR),
-                        constant_values=(-1.0 if i == 8 else 0.0))
+                        constant_values=(-1.0 if i == 6 else 0.0))
                 if padR else a for i, a in enumerate(outs)]
         arrs = [a.reshape(-1, CH) for a in arrs]
         n_chunks = arrs[0].shape[0]
         out_rows = []
         for ci in range(n_chunks):
-            cr, cg, cb, tmr, tmg, tmb, tu, tv, troot = (a[ci]
-                                                        for a in arrs)
-            for rid, node in roots:
-                m = troot == float(rid)
+            cr, cg, cb, tmr, tmg, tmb, tidx = (a[ci] for a in arrs)
+            for off, n, node in roots:
+                m = (tidx >= float(off)) & (tidx < float(off + n))
 
-                def fetch(_, node=node, tu=tu, tv=tv):
-                    tx = shade_soa._sample_texture(node.texture, tu, tv)
+                def fetch(_, node=node, tidx=tidx, off=off, n=n):
+                    local = jnp.clip(tidx - float(off), 0.0,
+                                     float(n - 1)).astype(jnp.int32)
+                    tx = shade_soa._fetch_texel_flat(node.texture, local,
+                                                     tidx.dtype)
                     return tx.x, tx.y, tx.z
 
                 def skip(_, cr=cr):
@@ -1028,7 +1038,7 @@ def _whitted_kernel_call(scene, rays, key, remaining, settings):
         bb = jnp.concatenate([t[2] for t in out_rows])
         return rr[:R], gg[:R], bb[:R]
 
-    return jax.lax.cond(jnp.any(outs[8] >= 0.0), completion,
+    return jax.lax.cond(jnp.any(outs[6] >= 0.0), completion,
                         lambda _: (outs[0], outs[1], outs[2]), None)
 
 

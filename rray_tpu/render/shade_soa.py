@@ -336,7 +336,15 @@ def _sample_texture(texture, uu, vv):
     vv = jnp.clip(vv, 0.0, 1.0)
     xi = jnp.minimum((uu * w).astype(jnp.int32), w - 1)
     yi = h - 1 - jnp.minimum((vv * h).astype(jnp.int32), h - 1)
-    flat = yi * w + xi
+    return _fetch_texel_flat(texture, yi * w + xi, dtype)
+
+
+def _fetch_texel_flat(texture, flat, dtype):
+    """Texel fetch by FLAT index (row-major, already clamp/v-flipped) —
+    the tail of _sample_texture, shared with the whitted kernel's
+    texture-completion path (which computes the identical flat index
+    in-kernel)."""
+    h, w = texture.shape[0], texture.shape[1]
     if texture.dtype == jnp.uint32:
         # Packed 8-bit RGB (scene/data.py): one fetch instead of three.
         # Fetched as a [1, 128] ROW gather + exact in-lane select: XLA's

@@ -98,7 +98,8 @@ def tree_sizes(T: int, leaf: int = LEAF):
     return Lp, Lp * leaf
 
 
-def build_tree(p1, e1, e2, normals=None, aux=(), leaf: int = LEAF):
+def build_tree(p1, e1, e2, normals=None, aux=(), leaf: int = LEAF,
+               subl: int = None):
     """Implicit-heap BVH over Morton-ordered triangles (in-graph, jnp).
 
     p1/e1/e2: 3-tuples of [T] component arrays (SoA); `normals` an
@@ -106,9 +107,11 @@ def build_tree(p1, e1, e2, normals=None, aux=(), leaf: int = LEAF):
     can interpolate the winning normal in-kernel; `aux` optional extra
     [T] f32 payload columns (shade class, prim id) appended after them.
     Returns (packed [Tp, 128] f32 triangle table — triangles in
-    sublanes, components in lanes — 6 node-box arrays each [2*Lp], Lp).
-    Node 0 is unused; real leaves have tight boxes, padding leaves
-    inverted (+inf/-inf) boxes.
+    sublanes, components in lanes — 6 node-box arrays each [2*Lp],
+    sub-leaf boxes [6, Lp*(leaf//subl)], Lp). Node 0 is unused; real
+    leaves have tight boxes, padding leaves inverted (+inf/-inf) boxes.
+    The sub-leaf boxes let the kernel pl.when-skip each `subl`-triangle
+    fold slice — one more cull level WITHOUT extra stack steps.
     """
     T = p1[0].shape[0]
     Lp, Tp = tree_sizes(T, leaf)
@@ -135,10 +138,15 @@ def build_tree(p1, e1, e2, normals=None, aux=(), leaf: int = LEAF):
 
     # Leaf AABBs over the three vertices; padding tris sit at _FAR with
     # zero extent, so padded leaves (and mixed tails) stay finite but
-    # far away — fully-padded leaves get inverted boxes below.
-    lo, hi = [], []
+    # far away — fully-padded leaves get inverted boxes below. Sub-leaf
+    # boxes at `subl` granularity ride along for the in-fold cull.
+    subl = subl or leaf
+    n_sub = Tp // subl
+    lo, hi, slo, shi = [], [], [], []
     live = (jnp.arange(Tp) < T).reshape(Lp, leaf)
     any_live = live.any(axis=1)
+    live_s = (jnp.arange(Tp) < T).reshape(n_sub, subl)
+    any_live_s = live_s.any(axis=1)
     for j in range(3):
         v1 = comps[j].reshape(Lp, leaf)
         v2 = v1 + comps[3 + j].reshape(Lp, leaf)
@@ -147,6 +155,10 @@ def build_tree(p1, e1, e2, normals=None, aux=(), leaf: int = LEAF):
         mx = jnp.where(live, jnp.maximum(jnp.maximum(v1, v2), v3), -_INF)
         lo.append(jnp.where(any_live, mn.min(axis=1), _INF))
         hi.append(jnp.where(any_live, mx.max(axis=1), -_INF))
+        mn_s = mn.reshape(n_sub, subl)
+        mx_s = mx.reshape(n_sub, subl)
+        slo.append(jnp.where(any_live_s, mn_s.min(axis=1), _INF))
+        shi.append(jnp.where(any_live_s, mx_s.max(axis=1), -_INF))
 
     packed = jnp.zeros((Tp, ncomp), jnp.float32)
     packed = packed.at[:, :len(comps)].set(jnp.stack(comps, axis=1))
@@ -166,12 +178,13 @@ def build_tree(p1, e1, e2, normals=None, aux=(), leaf: int = LEAF):
             [jnp.full((1,), _INF, jnp.float32)] + levels_lo)
         nodes_hi[j] = jnp.concatenate(
             [jnp.full((1,), -_INF, jnp.float32)] + levels_hi)
-    return packed, nodes_lo, nodes_hi, Lp
+    sboxes = jnp.stack(slo + shi, axis=0)  # [6, n_sub]
+    return packed, nodes_lo, nodes_hi, sboxes, Lp
 
 
 def _traverse_kernel(Lp, leaf, any_hit, normals, n_aux,
                      rox, roy, roz, rdx, rdy, rdz, dist,
-                     boxes, tri_hbm, *refs):
+                     boxes, sboxes, tri_hbm, *refs):
     """Block-synchronous heap walk over SUBB x BR = 4096 rays per
     program. The round-4 kernel traversed per 512-ray block: its slab
     tests ran as [1, BR] rows (7/8 of every vreg idle — the same
@@ -232,11 +245,27 @@ def _traverse_kernel(Lp, leaf, any_hit, normals, n_aux,
         waited by the caller — each leaf's copy overlaps the previous
         leaf's fold). One [SUBL, BR] intersection tile per ray ROW per
         sub-slice: triangles in sublanes, rays in lanes (ONE DMA now
-        serves all SUBB rows). Sub-slices fold in index order with
-        strict <, so the lowest-index tie-break is identical to a
-        whole-leaf argmin."""
-        for r, base in [(r, b) for r in range(S)
-                        for b in range(0, leaf, SUBL)]:
+        serves all SUBB rows). Sub-slices fold in index order with an
+        explicit lowest-index tie-break, so results are identical to a
+        whole-leaf argmin. Each sub-slice is additionally gated on its
+        OWN AABB (`sboxes`, SMEM) — one more cull level that costs a
+        ~25-op slab test instead of stack steps (the fold, not the
+        walk, bounds this kernel)."""
+        for base in range(0, leaf, SUBL):
+            sidx = ci * (leaf // SUBL) + base // SUBL
+            smin, smax = _ray_slab(
+                ox, oy, oz, ix, iy, iz,
+                sboxes[0, sidx], sboxes[1, sidx], sboxes[2, sidx],
+                sboxes[3, sidx], sboxes[4, sidx], sboxes[5, sidx])
+            s_enter = (smin <= smax) & (smax >= 0.0) & (
+                smin < jnp.minimum(t_ref[...], limit))
+
+            @pl.when(jnp.any(s_enter))
+            def _(base=base):
+                _mt_slice(tri_vmem, ci, base)
+
+    def _mt_slice(tri_vmem, ci, base):
+        for r in range(S):
             col = lambda k: tri_vmem[base:base + SUBL, k][:, None]
             tp1x, tp1y, tp1z = col(0), col(1), col(2)
             te1x, te1y, te1z = col(3), col(4), col(5)
@@ -454,9 +483,10 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None, aux=None,
         f"auto-raised leaf {leaf} needs {2 * leaf * 512} B of VMEM "
         f"scratch (double-buffered); mesh of {tri_comps[0].shape[0]} "
         f"triangles exceeds the kernel's budget — split the mesh")
-    packed, nlo, nhi, Lp = build_tree(
+    packed, nlo, nhi, sboxes, Lp = build_tree(
         tri_comps[0:3], tri_comps[3:6], tri_comps[6:9],
-        normals=tri_comps[9:18] if normals else None, aux=aux, leaf=leaf)
+        normals=tri_comps[9:18] if normals else None, aux=aux, leaf=leaf,
+        subl=min(leaf, 64))
     assert Lp <= max_leaves, (Lp, max_leaves)
     NN = 2 * Lp
     if dist is None:
@@ -511,6 +541,7 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None, aux=None,
     args.append(padr(dist.astype(jnp.float32),
                      fill=-_INF).reshape(shape2))
     args.append(jnp.stack([*nlo, *nhi], axis=0))  # [6, NN] -> SMEM
+    args.append(sboxes)                           # [6, n_sub] -> SMEM
     args.append(packed)
 
     n_out = (7 if normals else 4) + len(aux)
@@ -528,7 +559,7 @@ def bvh_closest_triangle(ro_comps, rd_comps, tri_comps, dist=None, aux=None,
         functools.partial(_traverse_kernel, Lp, leaf, any_hit, normals,
                           len(aux)),
         grid=grid,
-        in_specs=[ray_spec] * 7 + [box_spec]
+        in_specs=[ray_spec] * 7 + [box_spec, box_spec]
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(out_spec,) * n_out,
         out_shape=out_shapes,
